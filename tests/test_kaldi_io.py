@@ -1,0 +1,153 @@
+"""Round-trip and format tests for the Kaldi ark/scp interchange layer."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from xvector_tpu.io import kaldi_ark as kio
+
+
+def test_mat_roundtrip(tmp_path):
+    mats = {f"utt{i}": np.random.RandomState(i).randn(7 + i, 23).astype(
+        np.float32) for i in range(4)}
+    ark = tmp_path / "a.ark"
+    with open(ark, "wb") as f:
+        for k, m in mats.items():
+            kio.write_mat(f, m, key=k)
+    got = dict(kio.read_mat_ark(str(ark)))
+    assert got.keys() == mats.keys()
+    for k in mats:
+        np.testing.assert_array_equal(got[k], mats[k])
+
+
+def test_mat_float64_roundtrip(tmp_path):
+    m = np.random.randn(5, 3)
+    ark = tmp_path / "d.ark"
+    kio.write_mat(str(ark), m, key="u1")
+    (k, got), = list(kio.read_mat_ark(str(ark)))
+    assert k == "u1"
+    np.testing.assert_allclose(got, m, rtol=1e-6)
+
+
+def test_ark_scp_writer_offsets(tmp_path):
+    ark, scp = str(tmp_path / "x.ark"), str(tmp_path / "x.scp")
+    vecs = {f"spk{i}": np.random.randn(512).astype(np.float32)
+            for i in range(5)}
+    with kio.ArkWriter(ark, scp) as w:
+        for k, v in vecs.items():
+            w.write(k, v)
+    # read back through the scp offsets
+    got = dict(kio.read_vec_flt_scp(scp))
+    assert got.keys() == vecs.keys()
+    for k in vecs:
+        np.testing.assert_array_equal(got[k], vecs[k])
+
+
+def test_vec_roundtrip_ark(tmp_path):
+    ark = tmp_path / "v.ark"
+    with open(ark, "wb") as f:
+        kio.write_vec_flt(f, np.arange(5, dtype=np.float32), key="a")
+        kio.write_vec_flt(f, np.ones(3, dtype=np.float32), key="b")
+    got = dict(kio.read_vec_flt_ark(str(ark)))
+    np.testing.assert_array_equal(got["a"], np.arange(5, dtype=np.float32))
+    np.testing.assert_array_equal(got["b"], np.ones(3, dtype=np.float32))
+
+
+def test_int_vec_roundtrip(tmp_path):
+    p = str(tmp_path / "i.ark")
+    v = np.array([0, 1, 5, 1000000, -3], dtype=np.int32)
+    kio.write_vec_int(p, v, key="u")
+    with open(p, "rb") as f:
+        key = kio._read_key(f)
+        assert key == "u"
+        assert f.read(2) == b"\x00B"
+        assert f.read(5) == b"\x04" + struct.pack("<i", 5)  # dim header
+        got = np.frombuffer(f.read(5 * 5), dtype=np.uint8).reshape(5, 5)
+        np.testing.assert_array_equal(
+            got[:, 1:].copy().view("<i4").ravel(), v)
+    got2 = kio.read_vec_int(p.replace("i.ark", "i.ark") + ":2")
+    np.testing.assert_array_equal(got2, v)
+
+
+def _encode_cm1(mat: np.ndarray) -> bytes:
+    """Independent test-side encoder for Kaldi CompressedMatrix format 1,
+    written directly from the format spec (per-column percentile headers +
+    piecewise-linear uint8 codes, column-major)."""
+    rows, cols = mat.shape
+    gmin = float(mat.min())
+    grange = float(mat.max() - gmin) or 1.0
+    out = [b"CM ", struct.pack("<ffii", gmin, grange, rows, cols)]
+
+    def to_u16(x):
+        return np.clip((x - gmin) / grange * 65535.0, 0, 65535).astype("<u2")
+
+    def from_u16(u):
+        return gmin + grange * (u.astype(np.float64) / 65535.0)
+
+    headers, codes = [], []
+    for c in range(cols):
+        col = np.sort(mat[:, c].astype(np.float64))
+        q = to_u16(np.array([col[0], np.percentile(col, 25),
+                             np.percentile(col, 75), col[-1]]))
+        # ensure strictly increasing to avoid degenerate ranges
+        for i in range(1, 4):
+            q[i] = max(q[i], q[i - 1] + 1)
+        headers.append(q)
+        p0, p25, p75, p100 = from_u16(q)
+        v = mat[:, c].astype(np.float64)
+        code = np.empty(rows)
+        lo = v <= p25
+        hi = v >= p75
+        mid = ~lo & ~hi
+        code[lo] = np.clip((v[lo] - p0) / (p25 - p0) * 64.0, 0, 64)
+        code[mid] = 64.0 + (v[mid] - p25) / (p75 - p25) * 128.0
+        code[hi] = np.clip(192.0 + (v[hi] - p75) / (p100 - p75) * 63.0,
+                           192, 255)
+        codes.append(np.round(code).astype(np.uint8))
+    out.append(np.stack(headers).astype("<u2").tobytes())
+    out.append(np.stack(codes).tobytes())
+    return b"".join(out)
+
+
+def test_compressed_matrix_decode():
+    rng = np.random.RandomState(0)
+    mat = (rng.randn(50, 8) * 3 + 1).astype(np.float32)
+    buf = io.BytesIO(_encode_cm1(mat))
+    buf.read(3)  # header consumed by caller in real path
+    buf.seek(0)
+    hdr = buf.read(3)
+    assert hdr == b"CM "
+    got = kio._read_compressed_mat(buf, b"CM ")
+    assert got.shape == mat.shape
+    # lossy codec: tolerance scales with the value range / 255 levels
+    tol = (mat.max() - mat.min()) / 100.0
+    assert np.abs(got - mat).max() < tol
+
+
+def test_compressed_matrix_cm2():
+    rng = np.random.RandomState(1)
+    mat = rng.randn(6, 4).astype(np.float32)
+    gmin, grange = float(mat.min()), float(mat.max() - mat.min())
+    codes = np.clip((mat - gmin) / grange * 65535.0, 0, 65535).astype("<u2")
+    payload = struct.pack("<ffii", gmin, grange, 6, 4) + codes.tobytes()
+    got = kio._read_compressed_mat(io.BytesIO(payload), b"CM2")
+    assert np.abs(got - mat).max() < grange / 65000.0 * 2
+
+
+def test_pipe_read(tmp_path):
+    ark = str(tmp_path / "p.ark")
+    m = np.random.randn(4, 3).astype(np.float32)
+    kio.write_mat(ark, m, key="u")
+    got = dict(kio.read_mat_ark(f"cat {ark} |"))
+    np.testing.assert_array_equal(got["u"], m)
+
+
+def test_rspecifier_prefix_stripping(tmp_path):
+    ark = str(tmp_path / "r.ark")
+    m = np.ones((2, 2), dtype=np.float32)
+    kio.write_mat(ark, m, key="u")
+    for spec in (f"ark:{ark}", ark):
+        got = dict(kio.read_mat_ark(spec))
+        np.testing.assert_array_equal(got["u"], m)

@@ -1,0 +1,403 @@
+"""TDNN x-vector model zoo — functional JAX core.
+
+Re-designs the reference's eight TF1 graph classes
+(``/root/reference/local/tf/models.py:20-1244``) as ONE parameterised
+functional model: a config dataclass selects topology/activation/init/pooling,
+parameters live in a pytree, and batch-norm population statistics live in a
+separate mutable-state pytree threaded through ``apply``.  Everything is
+jit/pjit-friendly: static shapes, no Python control flow on traced values,
+masked pooling for padded variable-length batches (the reference has no
+padding because it runs batch-size-1 chunks at extraction,
+``models.py:410``).
+
+Topology presets (→ reference class, file:line):
+  * ``base``             → ``Model``                      (models.py:20)
+  * ``no_dropout``       → ``ModelWithoutDropout``        (models.py:436) — recipe default
+  * ``tdnn_dilated``     → ``ModelWithoutDropoutTdnn``    (models.py:538)
+  * ``prelu``            → ``ModelWithoutDropoutPRelu``   (models.py:643)
+  * ``l2_prelu``         → ``ModelL2LossWithoutDropoutPRelu``  (models.py:746)
+  * ``l2_lrelu``         → ``ModelL2LossWithoutDropoutLRelu`` (models.py:866)
+  * ``l2_lrelu_attention`` → ``ModelL2LossWithoutDropoutLReluAttention`` (models.py:985)
+  * ``l2_relu_he``       → ``ModelL2LossWithoutDropoutReluHeInit`` (models.py:1118)
+
+Shared semantics replicated exactly: conv1d(SAME, stride 1) + bias → act →
+batch-norm (population-EMA decay 0.95, eps 1e-3, moments over all leading
+axes); stats pooling mean ‖ sqrt(var + 1e-5); two embedding affines whose
+layer-0 **pre-activation** is the x-vector readout; softmax head with
+Xavier-init weight; optional L2 term ``beta·(Σ ½‖w‖²+½‖b‖²)`` over
+embed/output layers with 0.1× on embed-0 (models.py:811-832).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+VAR2STD_EPSILON = 1e-5   # models.py:16
+BN_EPSILON = 1e-3        # tf_block.py:9 default epsilon
+BN_DECAY = 0.95          # models.py:480 et al.
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Config + zoo
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TdnnConfig:
+    name: str = "no_dropout"
+    feat_dim: int = 23
+    kernel_sizes: Tuple[int, ...] = (5, 5, 7, 1, 1)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    channels: Tuple[int, ...] = (512, 512, 512, 512, 1536)
+    embed_dims: Tuple[int, ...] = (512, 512)
+    activation: str = "relu"          # relu | prelu | lrelu
+    lrelu_alpha: float = 0.2
+    use_dropout: bool = False
+    l2_beta: float = 0.0              # 2e-4 in L2 variants (models.py:1128)
+    pooling: str = "stats"            # stats | attention
+    init: str = "trunc_normal"        # trunc_normal | he
+    bn_decay: float = BN_DECAY
+    bn_eps: float = BN_EPSILON
+
+    @property
+    def num_frame_layers(self) -> int:
+        return len(self.kernel_sizes)
+
+    @property
+    def pooled_dim(self) -> int:
+        if self.pooling == "attention":
+            return self.channels[-1]          # 2 × (last/2)
+        return 2 * self.channels[-1]
+
+    @property
+    def xvector_dim(self) -> int:
+        return self.embed_dims[0]
+
+    @property
+    def receptive_field(self) -> int:
+        return 1 + sum((k - 1) * d
+                       for k, d in zip(self.kernel_sizes, self.dilations))
+
+
+MODEL_ZOO: Dict[str, TdnnConfig] = {
+    "base": TdnnConfig(name="base", use_dropout=True),
+    "no_dropout": TdnnConfig(name="no_dropout"),
+    "tdnn_dilated": TdnnConfig(
+        name="tdnn_dilated", kernel_sizes=(5, 3, 3, 1, 1),
+        dilations=(1, 2, 3, 1, 1)),
+    "prelu": TdnnConfig(name="prelu", activation="prelu"),
+    "l2_prelu": TdnnConfig(name="l2_prelu", activation="prelu",
+                           l2_beta=2e-4),
+    "l2_lrelu": TdnnConfig(name="l2_lrelu", activation="lrelu",
+                           l2_beta=2e-4),
+    "l2_lrelu_attention": TdnnConfig(
+        name="l2_lrelu_attention", activation="lrelu", l2_beta=2e-4,
+        channels=(512, 512, 512, 512, 6 * 512), pooling="attention"),
+    "l2_relu_he": TdnnConfig(name="l2_relu_he", l2_beta=2e-4, init="he"),
+}
+
+# Reference TF class name → preset, for CLI parity with
+# ``--tf-model-class`` (train_dnn.py:29-184).
+REFERENCE_CLASS_TO_PRESET = {
+    "Model": "base",
+    "ModelWithoutDropout": "no_dropout",
+    "ModelWithoutDropoutTdnn": "tdnn_dilated",
+    "ModelWithoutDropoutPRelu": "prelu",
+    "ModelL2LossWithoutDropoutPRelu": "l2_prelu",
+    "ModelL2LossWithoutDropoutLRelu": "l2_lrelu",
+    "ModelL2LossWithoutDropoutLReluAttention": "l2_lrelu_attention",
+    "ModelL2LossWithoutDropoutReluHeInit": "l2_relu_he",
+}
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, stddev):
+    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape,
+                                                jnp.float32)
+
+
+def _xavier_uniform(key, shape):
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def init_params(key, cfg: TdnnConfig, num_classes: int
+                ) -> Tuple[Params, State]:
+    """Build (params, bn_state) pytrees for a topology preset."""
+    keys = iter(jax.random.split(key, 64))
+    params: Params = {"frame": [], "embed": []}
+    state: State = {"frame": [], "embed": []}
+
+    def bn(dim):
+        return ({"gamma": jnp.ones(dim), "beta": jnp.zeros(dim)},
+                {"mean": jnp.zeros(dim), "var": jnp.ones(dim)})
+
+    def act_params(dim):
+        if cfg.activation == "prelu":
+            return {"alpha": jnp.full((dim,), 0.1)}    # tf_block.py:44
+        return {}
+
+    prev = cfg.feat_dim
+    for k, ch in zip(cfg.kernel_sizes, cfg.channels):
+        if cfg.init == "he":
+            fan_in = k * prev
+            w = _trunc_normal(next(keys), (k, prev, ch),
+                              math.sqrt(2.0 / fan_in))
+            limit = math.sqrt(6.0 / fan_in)
+            b = jax.random.uniform(next(keys), (ch,), jnp.float32,
+                                   -limit, limit)
+        else:
+            w = _trunc_normal(next(keys), (k, prev, ch), 0.1)
+            b = jnp.full((ch,), 0.1)
+        bn_p, bn_s = bn(ch)
+        params["frame"].append({"w": w, "b": b, "bn": bn_p,
+                                **act_params(ch)})
+        state["frame"].append(bn_s)
+        prev = ch
+
+    if cfg.pooling == "attention":
+        half = cfg.channels[-1] // 2
+        params["attention"] = {
+            "w": _trunc_normal(next(keys), (half, half), 0.1),
+            "b": jnp.full((half,), 0.1),
+            "v": jnp.full((half,), 0.1),
+        }
+
+    prev = cfg.pooled_dim
+    for dim in cfg.embed_dims:
+        if cfg.init == "he":
+            w = _trunc_normal(next(keys), (prev, dim),
+                              math.sqrt(2.0 / prev))
+            limit = math.sqrt(6.0 / prev)
+            b = jax.random.uniform(next(keys), (dim,), jnp.float32,
+                                   -limit, limit)
+        else:
+            w = _trunc_normal(next(keys), (prev, dim), 0.1)
+            b = jnp.full((dim,), 0.1)
+        bn_p, bn_s = bn(dim)
+        params["embed"].append({"w": w, "b": b, "bn": bn_p,
+                                **act_params(dim)})
+        state["embed"].append(bn_s)
+        prev = dim
+
+    params["output"] = {"w": _xavier_uniform(next(keys),
+                                             (prev, num_classes)),
+                        "b": jnp.full((num_classes,), 0.1)}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _activate(cfg: TdnnConfig, layer: Params, x):
+    if cfg.activation == "relu":
+        return jax.nn.relu(x)
+    if cfg.activation == "lrelu":
+        return jax.nn.leaky_relu(x, cfg.lrelu_alpha)
+    if cfg.activation == "prelu":
+        alpha = layer["alpha"]
+        return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
+    raise ValueError(cfg.activation)
+
+
+def _masked_moments(x, mask, axes):
+    """Mean/var over `axes`, ignoring positions where mask==0.
+
+    mask broadcasts against x with trailing feature dim of 1.  With a sharded
+    batch under pjit the jnp.sum reductions become cross-replica psums
+    automatically, giving exact global batch statistics.
+    """
+    if mask is None:
+        mean = jnp.mean(x, axes)
+        var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+        return mean, var
+    count = jnp.maximum(jnp.sum(mask, axes), 1.0)
+    mean = jnp.sum(x * mask, axes) / count
+    var = jnp.sum(jnp.square(x) * mask, axes) / count - jnp.square(mean)
+    return mean, var
+
+
+def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig):
+    """tf_block.batch_norm_wrapper semantics: train → batch moments +
+    EMA update of population stats; eval → population stats."""
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean, var = _masked_moments(x.astype(jnp.float32), mask, axes)
+        new_s = {"mean": bn_s["mean"] * cfg.bn_decay + mean * (1 - cfg.bn_decay),
+                 "var": bn_s["var"] * cfg.bn_decay + var * (1 - cfg.bn_decay)}
+    else:
+        mean, var = bn_s["mean"], bn_s["var"]
+        new_s = bn_s
+    inv = jax.lax.rsqrt(var + cfg.bn_eps)
+    out = (x - mean) * inv * bn_p["gamma"] + bn_p["beta"]
+    return out.astype(x.dtype), new_s
+
+
+def _conv1d_same(x, w, dilation: int):
+    """(B, T, Cin) ⊛ (K, Cin, Cout) → (B, T, Cout), SAME padding.
+
+    Expressed as lax.conv_general_dilated with NWC/WIO layout — XLA lowers
+    this to MXU matmuls; a fused Pallas path lives in ops/tdnn_kernel.py.
+    """
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding="SAME",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
+
+
+def stats_pooling(h, mask=None, eps: float = VAR2STD_EPSILON):
+    """mean ‖ sqrt(var+eps) over the time axis (models.py:485-486), masked
+    for padded frames."""
+    mean, var = _masked_moments(h.astype(jnp.float32), mask, (1,))
+    return jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0) + eps)],
+                           axis=-1)
+
+
+def attention_pooling(h, att: Params, mask=None, eps: float = VAR2STD_EPSILON):
+    """Self-attentive pooling (models.py:1039-1051): split channels in two,
+    scores from h1, attention-weighted mean/std of h2."""
+    h = h.astype(jnp.float32)
+    half = h.shape[-1] // 2
+    h1, h2 = h[..., :half], h[..., half:]
+    scores = jnp.tanh(h1 @ att["w"] + att["b"]) @ att["v"]   # (B, T)
+    if mask is not None:
+        scores = jnp.where(mask[..., 0] > 0, scores, -1e30)
+    alpha = jax.nn.softmax(scores, axis=1)
+    mean = jnp.einsum("btc,bt->bc", h2, alpha)
+    var = jnp.einsum("btc,bt->bc", jnp.square(h2), alpha) - jnp.square(mean)
+    return jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0) + eps)],
+                           axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+def apply(cfg: TdnnConfig, params: Params, state: State, x,
+          *, mask=None, train: bool = False,
+          dropout_keep: float | jnp.ndarray = 1.0,
+          rng: Optional[jax.Array] = None,
+          compute_dtype=jnp.float32) -> Dict[str, Any]:
+    """Forward pass.
+
+    Args:
+      x: (B, T, feat_dim) features.
+      mask: optional (B, T) 1/0 frame-validity mask for padded batches.
+      train: BN/dropout mode (static).
+      dropout_keep: keep probability (traced OK; only used when
+        cfg.use_dropout and train).
+      rng: PRNG key for dropout.
+      compute_dtype: conv/matmul compute dtype (bf16 on TPU for speed; BN
+        statistics and pooling always run in f32).
+
+    Returns dict with:
+      ``logits`` (B, num_classes), ``xvector`` (B, embed0) — the embed-0
+      pre-activation readout (models.py:382-384), ``pooled``, ``l2_loss``
+      (scalar, already beta-scaled), ``state`` (new BN state).
+    """
+    m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    new_state: State = {"frame": [], "embed": []}
+    h = x.astype(compute_dtype)
+    dropkeys = (jax.random.split(rng, 8) if rng is not None else None)
+    drop_i = 0
+
+    def dropout(h):
+        nonlocal drop_i
+        if not (cfg.use_dropout and train):
+            return h
+        if dropkeys is None:
+            raise ValueError("dropout requires an rng key")
+        keep = jnp.asarray(dropout_keep, h.dtype)
+        mask_ = jax.random.bernoulli(dropkeys[drop_i], keep, h.shape)
+        drop_i += 1
+        return jnp.where(mask_, h / keep, 0.0)
+
+    if m is not None:
+        h = h * m   # zero pad frames so convs see SAME-style zero padding
+    for i, layer in enumerate(params["frame"]):
+        h = _conv1d_same(h, layer["w"].astype(compute_dtype),
+                         cfg.dilations[i]) + layer["b"]
+        h = _activate(cfg, layer, h)
+        h, bn_s = _batch_norm(h, layer["bn"], state["frame"][i], m,
+                              train, cfg)
+        if m is not None:
+            h = h * m   # keep pad positions zero for the next conv window
+        new_state["frame"].append(bn_s)
+        if i != cfg.num_frame_layers - 1:
+            h = dropout(h)
+
+    if cfg.pooling == "attention":
+        pooled = attention_pooling(h, params["attention"], m)
+    else:
+        pooled = stats_pooling(h, m)
+
+    l2 = jnp.float32(0.0)
+    h = pooled
+    xvector = None
+    for i, layer in enumerate(params["embed"]):
+        pre = h.astype(compute_dtype) @ layer["w"].astype(compute_dtype) \
+            + layer["b"]
+        if i == 0:
+            xvector = pre.astype(jnp.float32)
+        if cfg.l2_beta > 0.0:
+            scale = 0.1 if i == 0 else 1.0     # models.py:811-817
+            l2 = l2 + scale * 0.5 * (jnp.sum(jnp.square(layer["w"]))
+                                     + jnp.sum(jnp.square(layer["b"])))
+        h = _activate(cfg, layer, pre)
+        h, bn_s = _batch_norm(h, layer["bn"], state["embed"][i], None,
+                              train, cfg)
+        new_state["embed"].append(bn_s)
+        if i != len(cfg.embed_dims) - 1:
+            h = dropout(h)
+
+    out = params["output"]
+    logits = h.astype(compute_dtype) @ out["w"].astype(compute_dtype) \
+        + out["b"]
+    if cfg.l2_beta > 0.0:
+        l2 = l2 + 0.5 * (jnp.sum(jnp.square(out["w"]))
+                         + jnp.sum(jnp.square(out["b"])))
+
+    return {
+        "logits": logits.astype(jnp.float32),
+        "xvector": xvector,
+        "hidden": h.astype(jnp.float32),   # post embed stack, pre output
+        "pooled": pooled,
+        "l2_loss": cfg.l2_beta * l2,
+        "state": new_state,
+    }
+
+
+def extract_xvector(cfg: TdnnConfig, params: Params, state: State, x,
+                    mask=None, compute_dtype=jnp.float32):
+    """Embedding-only forward (no classifier head) for extraction."""
+    m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    h = x.astype(compute_dtype)
+    if m is not None:
+        h = h * m
+    for i, layer in enumerate(params["frame"]):
+        h = _conv1d_same(h, layer["w"].astype(compute_dtype),
+                         cfg.dilations[i]) + layer["b"]
+        h = _activate(cfg, layer, h)
+        h, _ = _batch_norm(h, layer["bn"], state["frame"][i], m, False, cfg)
+        if m is not None:
+            h = h * m
+    if cfg.pooling == "attention":
+        pooled = attention_pooling(h, params["attention"], m)
+    else:
+        pooled = stats_pooling(h, m)
+    e0 = params["embed"][0]
+    return (pooled.astype(compute_dtype) @ e0["w"].astype(compute_dtype)
+            + e0["b"]).astype(jnp.float32)

@@ -1,0 +1,328 @@
+"""On-device feature front-end: MFCC, energy VAD, sliding CMVN.
+
+TPU-native replacement for the Kaldi C++ feature binaries the reference
+shells out to:
+
+* ``compute-mfcc-feats`` (reference ``run.sh:97``, ``conf/mfcc.conf``) →
+  :func:`mfcc` — framing/window/FFT/mel/DCT entirely in XLA ops with static
+  shapes, batchable and jittable, bf16-friendly.
+* ``compute-vad-energy`` (``run.sh:100``, ``conf/vad.conf``) →
+  :func:`energy_vad`.
+* ``apply-cmvn-sliding --norm-vars=false --center=true --cmn-window=300``
+  (``extract_xvectors.sh:68``) → :func:`sliding_cmvn`.
+* ``select-voiced-frames`` (``extract_xvectors.sh:68``) →
+  :func:`select_voiced_frames` (host, ragged) and mask helpers (device).
+
+Numerical semantics follow Kaldi's feature pipeline (povey window,
+pre-emphasis 0.97, snip-edges=false reflection framing, raw log-energy C0
+replacement, orthonormal DCT-II, cepstral lifter 22) so that features are
+interchangeable with a Kaldi-produced archive up to dither noise.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "MfccConfig",
+    "VadConfig",
+    "mfcc",
+    "num_frames",
+    "energy_vad",
+    "sliding_cmvn",
+    "select_voiced_frames",
+]
+
+
+# ---------------------------------------------------------------------------
+# Configs (mirror conf/mfcc.conf + Kaldi defaults, conf/vad.conf)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MfccConfig:
+    sample_rate: int = 8000
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    num_ceps: int = 23            # conf/mfcc.conf:5 (--num-ceps=23)
+    num_mel_bins: int = 23        # Kaldi default for 8 kHz recipes
+    low_freq: float = 20.0        # conf/mfcc.conf:3
+    high_freq: float = 3700.0     # conf/mfcc.conf:4
+    preemph: float = 0.97
+    dither: float = 1.0
+    remove_dc_offset: bool = True
+    window_type: str = "povey"
+    raw_energy: bool = True
+    use_energy: bool = True
+    energy_floor: float = 0.0
+    cepstral_lifter: float = 22.0
+    snip_edges: bool = False      # conf/mfcc.conf:6
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000.0)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms / 1000.0)
+
+    @property
+    def fft_size(self) -> int:
+        n = 1
+        while n < self.frame_length:
+            n *= 2
+        return n
+
+
+@dataclass(frozen=True)
+class VadConfig:
+    energy_threshold: float = 5.5       # conf/vad.conf:1
+    energy_mean_scale: float = 0.5      # conf/vad.conf:2
+    proportion_threshold: float = 0.12  # conf/vad.conf:3
+    frames_context: int = 2             # conf/vad.conf:4
+
+
+# ---------------------------------------------------------------------------
+# Window / mel / DCT constants (host-computed, closed over by jit)
+# ---------------------------------------------------------------------------
+
+def _window_fn(cfg: MfccConfig) -> np.ndarray:
+    n = cfg.frame_length
+    a = 2.0 * math.pi / (n - 1)
+    i = np.arange(n, dtype=np.float64)
+    hann = 0.5 - 0.5 * np.cos(a * i)
+    if cfg.window_type == "povey":
+        w = hann ** 0.85
+    elif cfg.window_type == "hanning":
+        w = hann
+    elif cfg.window_type == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * i)
+    elif cfg.window_type == "rectangular":
+        w = np.ones(n)
+    else:
+        raise ValueError(f"unknown window {cfg.window_type}")
+    return w.astype(np.float32)
+
+
+def _mel_scale(freq):
+    return 1127.0 * np.log(1.0 + freq / 700.0)
+
+
+def _mel_banks(cfg: MfccConfig) -> np.ndarray:
+    """(num_mel_bins, fft_size//2) triangular filters, Kaldi MelBanks layout
+    (nyquist bin excluded)."""
+    num_fft_bins = cfg.fft_size // 2
+    nyquist = 0.5 * cfg.sample_rate
+    high = cfg.high_freq if cfg.high_freq > 0 else nyquist + cfg.high_freq
+    mel_low, mel_high = _mel_scale(cfg.low_freq), _mel_scale(high)
+    mel_delta = (mel_high - mel_low) / (cfg.num_mel_bins + 1)
+    fft_bin_width = cfg.sample_rate / cfg.fft_size
+    mel_of_bin = _mel_scale(fft_bin_width * np.arange(num_fft_bins))
+    banks = np.zeros((cfg.num_mel_bins, num_fft_bins), dtype=np.float64)
+    for b in range(cfg.num_mel_bins):
+        left = mel_low + b * mel_delta
+        center = mel_low + (b + 1) * mel_delta
+        right = mel_low + (b + 2) * mel_delta
+        up = (mel_of_bin - left) / (center - left)
+        down = (right - mel_of_bin) / (right - center)
+        banks[b] = np.clip(np.minimum(up, down), 0.0, None)
+    return banks.astype(np.float32)
+
+
+def _dct_matrix(num_ceps: int, num_bins: int) -> np.ndarray:
+    """Orthonormal DCT-II rows (Kaldi ComputeDctMatrix)."""
+    j = np.arange(num_bins, dtype=np.float64)
+    m = np.zeros((num_ceps, num_bins), dtype=np.float64)
+    m[0] = 1.0 / math.sqrt(num_bins)
+    for k in range(1, num_ceps):
+        m[k] = math.sqrt(2.0 / num_bins) * np.cos(
+            math.pi / num_bins * (j + 0.5) * k)
+    return m.astype(np.float32)
+
+
+def _lifter_coeffs(num_ceps: int, q: float) -> np.ndarray:
+    i = np.arange(num_ceps, dtype=np.float64)
+    return (1.0 + 0.5 * q * np.sin(math.pi * i / q)).astype(np.float32)
+
+
+def _dft_matrices(cfg: MfccConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT (cos, sin) matrices of shape (frame_length, fft_size//2).
+
+    The power spectrum is computed as two MXU matmuls instead of an FFT:
+    for a 256-point transform this is both faster on TPU (the MXU eats the
+    200×128 contraction; XLA has no fast small-batch FFT) and the only
+    option on backends where ``jnp.fft`` is unimplemented.  Zero-padding
+    beyond frame_length is implicit: those DFT rows would multiply zeros.
+    """
+    n = np.arange(cfg.frame_length, dtype=np.float64)[:, None]
+    k = np.arange(cfg.fft_size // 2, dtype=np.float64)[None, :]
+    ang = 2.0 * math.pi * n * k / cfg.fft_size
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+def num_frames(num_samples: int, cfg: MfccConfig) -> int:
+    """Frame count (Kaldi NumFrames)."""
+    if cfg.snip_edges:
+        if num_samples < cfg.frame_length:
+            return 0
+        return 1 + (num_samples - cfg.frame_length) // cfg.frame_shift
+    return (num_samples + cfg.frame_shift // 2) // cfg.frame_shift
+
+
+def _frame_indices(num_samples: int, cfg: MfccConfig) -> np.ndarray:
+    """(T, frame_length) int32 sample indices with Kaldi reflection for
+    snip-edges=false (sample -1 ↔ 0, num_samples ↔ num_samples-1)."""
+    t = num_frames(num_samples, cfg)
+    starts = np.arange(t) * cfg.frame_shift
+    if not cfg.snip_edges:
+        starts = starts + cfg.frame_shift // 2 - cfg.frame_length // 2
+    idx = starts[:, None] + np.arange(cfg.frame_length)[None, :]
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx >= num_samples, 2 * num_samples - idx - 1, idx)
+    return np.clip(idx, 0, num_samples - 1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# MFCC
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _mfcc_from_frames(frames: jnp.ndarray, cfg: MfccConfig,
+                      dither_key) -> jnp.ndarray:
+    """frames: (T, frame_length) float32 raw sample windows → (T, num_ceps)."""
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    x = frames
+    if cfg.dither != 0.0 and dither_key is not None:
+        x = x + cfg.dither * jax.random.normal(dither_key, x.shape, x.dtype)
+    if cfg.remove_dc_offset:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if cfg.raw_energy:
+        log_energy = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), eps))
+    if cfg.preemph != 0.0:
+        shifted = jnp.concatenate([x[:, :1], x[:, :-1]], axis=-1)
+        x = x - cfg.preemph * shifted
+    x = x * jnp.asarray(_window_fn(cfg))
+    if not cfg.raw_energy:
+        log_energy = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), eps))
+    # Power spectrum via real-DFT matmuls (MXU path; see _dft_matrices).
+    # HIGHEST precision: TPU f32 matmuls otherwise default to bf16 passes,
+    # which is fine for the network but not for a feature front-end that
+    # must match Kaldi numerics.
+    cos_m, sin_m = _dft_matrices(cfg)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(x, jnp.asarray(cos_m), precision=hi)
+    im = jnp.dot(x, jnp.asarray(sin_m), precision=hi)
+    power = re * re + im * im
+    mel = jnp.dot(power, jnp.asarray(_mel_banks(cfg)).T, precision=hi)
+    log_mel = jnp.log(jnp.maximum(mel, eps))
+    ceps = jnp.dot(log_mel, jnp.asarray(
+        _dct_matrix(cfg.num_ceps, cfg.num_mel_bins)).T, precision=hi)
+    if cfg.cepstral_lifter != 0.0:
+        ceps = ceps * jnp.asarray(
+            _lifter_coeffs(cfg.num_ceps, cfg.cepstral_lifter))
+    if cfg.use_energy:
+        if cfg.energy_floor > 0.0:
+            log_energy = jnp.maximum(log_energy,
+                                     math.log(cfg.energy_floor))
+        ceps = ceps.at[:, 0].set(log_energy)
+    return ceps
+
+
+def mfcc(waveform, cfg: MfccConfig = MfccConfig(), key=None) -> jnp.ndarray:
+    """Compute (T, num_ceps) MFCC for a 1-D waveform of int16-scale floats.
+
+    ``key`` enables dither (pass None for deterministic golden tests).
+    Framing indices are host-computed per waveform length; the per-frame
+    transform is a single jitted XLA program shared across lengths of equal
+    frame count.
+    """
+    waveform = jnp.asarray(waveform, jnp.float32)
+    idx = _frame_indices(int(waveform.shape[0]), cfg)
+    frames = waveform[jnp.asarray(idx)]
+    if cfg.dither == 0.0:
+        key = None
+    return _mfcc_from_frames(frames, cfg, key)
+
+
+# ---------------------------------------------------------------------------
+# Energy VAD (compute-vad-energy semantics)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def energy_vad(feats: jnp.ndarray, cfg: VadConfig = VadConfig()) -> jnp.ndarray:
+    """Per-frame 0/1 voiced decisions from MFCC column 0 (log energy).
+
+    A frame is voiced when ≥ ``proportion_threshold`` of the frames in its
+    ±context window exceed ``energy_threshold + mean_scale * mean(energy)``.
+    """
+    log_e = feats[:, 0]
+    thresh = cfg.energy_threshold
+    if cfg.energy_mean_scale != 0.0:
+        thresh = thresh + cfg.energy_mean_scale * jnp.mean(log_e)
+    above = (log_e > thresh).astype(jnp.float32)
+    ctx = cfg.frames_context
+    ones = jnp.ones(2 * ctx + 1, jnp.float32)
+    num = jnp.convolve(above, ones, mode="same")
+    den = jnp.convolve(jnp.ones_like(above), ones, mode="same")
+    return (num >= den * cfg.proportion_threshold).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window CMVN (apply-cmvn-sliding --center=true semantics)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("window", "center",
+                                             "normalize_variance"))
+def sliding_cmvn(feats: jnp.ndarray, window: int = 300, center: bool = True,
+                 normalize_variance: bool = False) -> jnp.ndarray:
+    """Subtract a sliding-window mean from each frame.
+
+    Kaldi window placement: nominally centered on the frame, clamped so the
+    window keeps ``min(T, window)`` frames at the edges — i.e. near the
+    boundaries the window slides rather than shrinks.
+    """
+    t = feats.shape[0]
+    win = min(window, t)
+    x = feats.astype(jnp.float32)
+
+    def window_sums(v):
+        # all size-`win` window sums via reduce_window (pairwise adds —
+        # numerically safer than a cumsum difference over long utterances)
+        return jax.lax.reduce_window(
+            v, 0.0, jax.lax.add, window_dimensions=(win, 1),
+            window_strides=(1, 1), padding="VALID")
+
+    sums = window_sums(x)                       # (t - win + 1, d)
+    if center:
+        starts = jnp.arange(t) - win // 2
+    else:
+        starts = jnp.arange(t) - win + 1
+    idx = jnp.clip(starts, 0, t - win)          # Kaldi clamped placement
+    mean = sums[idx] / win
+    out = feats - mean.astype(feats.dtype)
+    if normalize_variance:
+        var = window_sums(jnp.square(x))[idx] / win - jnp.square(mean)
+        out = out * jax.lax.rsqrt(
+            jnp.maximum(var, 1e-10)).astype(feats.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Voiced-frame selection
+# ---------------------------------------------------------------------------
+
+def select_voiced_frames(feats: np.ndarray, vad: np.ndarray) -> np.ndarray:
+    """Host-side ragged compaction (select-voiced-frames): keep rows where
+    vad > 0.5.  On device, keep the mask and use masked pooling instead."""
+    feats = np.asarray(feats)
+    vad = np.asarray(vad)
+    return feats[vad > 0.5]

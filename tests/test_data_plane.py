@@ -1,0 +1,174 @@
+"""Chunk allocator property tests (speaker balance, overlap control,
+coverage invariants per create_egs.py semantics) + archive round-trips."""
+
+import collections
+import os
+
+import numpy as np
+import pytest
+
+from xvector_tpu.data import allocator as A
+from xvector_tpu.data import archives as AR
+
+
+def _toy_corpus(num_spk=6, utts_per_spk=4, min_len=500, seed=0):
+    rng = np.random.RandomState(seed)
+    utt2len, utt2label = {}, {}
+    for s in range(num_spk):
+        for u in range(utts_per_spk):
+            name = f"s{s}_u{u}"
+            utt2len[name] = int(min_len + rng.randint(0, 500))
+            utt2label[name] = s
+    return utt2len, utt2label
+
+
+CFG = A.AllocatorConfig(min_frames=100, max_frames=200, minibatch_size=8,
+                        num_repeats=4, frames_per_iter=50_000, seed=1)
+
+
+def test_allocator_chunk_invariants():
+    utt2len, utt2label = _toy_corpus()
+    plans = list(A.allocate_archives(utt2len, utt2label, CFG,
+                                     num_archives=2))
+    assert len(plans) == 2
+    for plan in plans:
+        assert plan.frames > 0
+        for mb in plan.minibatches:
+            assert len(mb.chunks) == CFG.minibatch_size
+            assert CFG.min_frames <= mb.length <= CFG.max_frames
+            assert mb.padded_length % CFG.length_bucket == 0
+            assert mb.padded_length >= mb.length
+            for c in mb.chunks:
+                assert c.length == mb.length     # one length per minibatch
+                assert 0 <= c.offset
+                assert c.offset + c.length <= utt2len[c.utt]
+                assert c.label == utt2label[c.utt]
+
+
+def test_allocator_speaker_balance():
+    """Each speaker's draw count stays within a tolerance of num_repeats
+    per archive (the reference's repeated-shuffled-pool guarantee)."""
+    utt2len, utt2label = _toy_corpus(num_spk=10)
+    (plan,) = A.allocate_archives(utt2len, utt2label, CFG, num_archives=1)
+    counts = collections.Counter(c.label for mb in plan.minibatches
+                                 for c in mb.chunks)
+    total = sum(counts.values())
+    expect = total / 10
+    for spk in range(10):
+        assert counts[spk] >= 0.5 * expect
+        assert counts[spk] <= 2.0 * expect
+
+
+def test_allocator_determinism():
+    utt2len, utt2label = _toy_corpus()
+    p1 = list(A.allocate_archives(utt2len, utt2label, CFG, num_archives=1))
+    p2 = list(A.allocate_archives(utt2len, utt2label, CFG, num_archives=1))
+    assert p1 == p2
+
+
+def test_allocator_ranges_format():
+    utt2len, utt2label = _toy_corpus()
+    (plan,) = A.allocate_archives(utt2len, utt2label, CFG, num_archives=1)
+    lines = plan.to_ranges_lines()
+    utt, mb, rel, off, ln, lab = lines[0].split()
+    assert utt in utt2len
+    assert int(ln) == plan.minibatches[0].length
+
+
+def test_base_utt_strips_augmentation():
+    assert A.base_utt("sre_1234-noise") == "sre_1234"
+    assert A.base_utt("sre_1234-reverb") == "sre_1234"
+    assert A.base_utt("sre_1234-babble") == "sre_1234"
+    assert A.base_utt("sre_1234-music") == "sre_1234"
+    assert A.base_utt("sre_1234") == "sre_1234"
+    assert A.base_utt("sre-A-5") == "sre-A-5"   # non-aug dash survives
+
+
+def test_allocator_overlap_control():
+    """With a single long utterance per speaker, planned chunks should
+    mostly respect the accepted-overlap bound against each other."""
+    utt2len = {"s0_u0": 100_000}
+    utt2label = {"s0_u0": 0}
+    cfg = A.AllocatorConfig(min_frames=100, max_frames=100,
+                            minibatch_size=4, num_repeats=8,
+                            frames_per_iter=4_000, seed=3,
+                            accepted_overlap=0.0, length_bucket=1)
+    (plan,) = A.allocate_archives(utt2len, utt2label, cfg, num_archives=1)
+    spans = [(c.offset, c.offset + c.length) for mb in plan.minibatches
+             for c in mb.chunks]
+    overlapping = 0
+    for i, (s1, e1) in enumerate(spans):
+        for s2, e2 in spans[i + 1:]:
+            if min(e1, e2) - max(s1, s2) > 0:
+                overlapping += 1
+    # plenty of room for 40 disjoint chunks of 100 in 100k frames
+    assert overlapping <= len(spans) // 10
+
+
+def test_archive_roundtrip(tmp_path):
+    mbs = []
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        x = rng.randn(4, 96 + 32 * i, 23).astype(np.float16)
+        y = rng.randint(0, 10, size=4).astype(np.int32)
+        mbs.append((x, y, 90 + 32 * i))
+    path = str(tmp_path / "egs.1.xta")
+    AR.write_archive(path, mbs)
+    with AR.ArchiveReader(path) as r:
+        assert len(r) == 3
+        for i, (x, y, t) in enumerate(r):
+            np.testing.assert_array_equal(x, mbs[i][0])
+            np.testing.assert_array_equal(y, mbs[i][1])
+            assert t == mbs[i][2]
+
+
+def test_materialize_and_prefetch(tmp_path):
+    utt2len, utt2label = _toy_corpus(num_spk=3, utts_per_spk=2)
+    cfg = A.AllocatorConfig(min_frames=50, max_frames=80, minibatch_size=4,
+                            num_repeats=2, frames_per_iter=2_000, seed=5)
+    (plan,) = A.allocate_archives(utt2len, utt2label, cfg, num_archives=1)
+    feats = {u: np.random.RandomState(hash(u) % 2**31).randn(
+        n, 23).astype(np.float32) for u, n in utt2len.items()}
+    path = str(tmp_path / "egs.0.xta")
+    AR.materialize_archive(plan, path, fetch=lambda u: feats[u],
+                           shuffle_seed=7)
+    # idempotent: second call must be a no-op
+    mtime = os.path.getmtime(path)
+    AR.materialize_archive(plan, path, fetch=lambda u: 1 / 0)
+    assert os.path.getmtime(path) == mtime
+
+    with AR.ArchiveReader(path) as r:
+        loader = AR.PrefetchLoader(r, queue_size=2)
+        seen = 0
+        for x, y, mask in loader:
+            assert x.dtype == np.float32
+            assert mask.shape == x.shape[:2]
+            # mask covers exactly the true length
+            true_len = int(mask[0].sum())
+            assert (mask[:, :true_len] == 1).all()
+            assert (mask[:, true_len:] == 0).all()
+            # feature rows beyond true length are zero padding
+            assert np.abs(x[:, true_len:]).max() == 0.0
+            seen += 1
+        assert seen == len(plan.minibatches)
+
+
+def test_materialized_content_matches_source(tmp_path):
+    """Chunk i of minibatch j must equal the planned slice of the source
+    feature matrix (up to fp16 rounding)."""
+    utt2len = {"a": 300, "b": 280}
+    utt2label = {"a": 0, "b": 1}
+    cfg = A.AllocatorConfig(min_frames=64, max_frames=64, minibatch_size=2,
+                            num_repeats=2, frames_per_iter=512, seed=9,
+                            length_bucket=64)
+    (plan,) = A.allocate_archives(utt2len, utt2label, cfg, num_archives=1)
+    feats = {u: np.random.RandomState(i).randn(n, 5).astype(np.float32)
+             for i, (u, n) in enumerate(utt2len.items())}
+    path = str(tmp_path / "m.xta")
+    AR.materialize_archive(plan, path, fetch=lambda u: feats[u])
+    with AR.ArchiveReader(path) as r:
+        for mb, (x, y, t) in zip(plan.minibatches, r):
+            for i, c in enumerate(mb.chunks):
+                want = feats[c.utt][c.offset: c.offset + c.length]
+                np.testing.assert_allclose(x[i, : c.length], want,
+                                           atol=2e-3)

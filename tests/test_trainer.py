@@ -1,0 +1,145 @@
+"""Trainer integration tests on the virtual 8-device CPU mesh: loss
+decreases on a learnable toy problem, checkpoints save/restore/resume,
+GC and model_final lifecycle, sharded-head training."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from xvector_tpu.data import allocator as A
+from xvector_tpu.data import archives as AR
+from xvector_tpu.parallel import mesh as meshlib
+from xvector_tpu.train import checkpoints as C
+from xvector_tpu.train.trainer import TrainConfig, Trainer
+
+NUM_SPK = 8
+FEAT = 23
+
+
+def _synthetic_batches(num_batches=6, mb=8, t=64, seed=0):
+    """Linearly separable toy data: each speaker has a distinct mean
+    offset, so a few steps of Adam must cut the loss."""
+    rng = np.random.RandomState(seed)
+    means = rng.randn(NUM_SPK, FEAT) * 2.0
+    out = []
+    for _ in range(num_batches):
+        labels = rng.randint(0, NUM_SPK, size=mb).astype(np.int32)
+        x = rng.randn(mb, t, FEAT).astype(np.float32) * 0.3 \
+            + means[labels][:, None, :]
+        mask = np.ones((mb, t), dtype=np.float32)
+        out.append((x, labels, mask))
+    return out
+
+
+def _mk_trainer(tmp_path, **kw):
+    cfg = TrainConfig(num_targets=NUM_SPK, model=kw.pop("model",
+                                                        "no_dropout"),
+                      compute_dtype="float32", **kw)
+    mesh = meshlib.make_mesh(data=4, model=2)
+    return Trainer(cfg, str(tmp_path / "exp"), mesh=mesh, feat_dim=FEAT)
+
+
+def test_train_loss_decreases(tmp_path):
+    tr = _mk_trainer(tmp_path)
+    batches = _synthetic_batches()
+    first = tr.train_one_iteration(0, iter(batches), lr=1e-3, dropout=0.0,
+                                   shrink=1.0)
+    for it in range(1, 5):
+        last = tr.train_one_iteration(it, iter(batches), lr=1e-3,
+                                      dropout=0.0, shrink=1.0)
+    assert last["loss"] < first["loss"]
+    ev = tr.evaluate(iter(batches))
+    assert ev["accuracy"] > 0.5
+
+
+def test_full_train_loop_checkpoints_and_metrics(tmp_path):
+    tr = _mk_trainer(tmp_path, num_epochs=2, preserve_model_interval=2)
+    batches = _synthetic_batches(num_batches=3)
+    final = tr.train(lambda i: iter(batches), num_archives=2,
+                     valid_batches=lambda: iter(batches[:1]))
+    assert final == 4   # num_epochs * num_archives
+    work = tr.work_dir
+    assert os.path.islink(os.path.join(work, "model_final"))
+    kept = [it for it, _ in C.iteration_dirs(work)]
+    # GC: last two (3, 4) + preserve-interval multiples (2)
+    assert set(kept) == {2, 3, 4}
+    lines = [json.loads(l) for l in
+             open(os.path.join(work, "metrics.jsonl"))]
+    kinds = {l["kind"] for l in lines}
+    assert {"train", "valid"} <= kinds
+
+
+def test_resume_skips_completed_iterations(tmp_path):
+    batches = _synthetic_batches(num_batches=2)
+    tr = _mk_trainer(tmp_path, num_epochs=1)
+    tr.train(lambda i: iter(batches), num_archives=3)
+    p0 = np.asarray(tr.params["output"]["b"])
+
+    # a fresh trainer resumes from the final checkpoint and does no work
+    tr2 = _mk_trainer(tmp_path, num_epochs=1)
+    calls = []
+
+    def batches_fn(i):
+        calls.append(i)
+        return iter(batches)
+
+    tr2.train(batches_fn, num_archives=3)
+    assert calls == []          # nothing re-run
+    np.testing.assert_allclose(np.asarray(tr2.params["output"]["b"]), p0,
+                               atol=1e-6)
+
+
+def test_sharded_head_layout(tmp_path):
+    tr = _mk_trainer(tmp_path)
+    w = tr.params["output"]["w"]
+    spec = w.sharding.spec
+    assert tuple(spec) == (None, "model")
+    batches = _synthetic_batches(num_batches=1)
+    tr.train_one_iteration(0, iter(batches), 1e-3, 0.0, 1.0)
+    # sharding preserved through the step
+    assert tuple(tr.params["output"]["w"].sharding.spec) == (None, "model")
+
+
+def test_am_softmax_head_trains(tmp_path):
+    tr = _mk_trainer(tmp_path, head="am_softmax")
+    batches = _synthetic_batches()
+    first = tr.train_one_iteration(0, iter(batches), 1e-3, 0.0, 1.0)
+    for it in range(1, 5):
+        last = tr.train_one_iteration(it, iter(batches), 1e-3, 0.0, 1.0)
+    assert last["loss"] < first["loss"]
+
+
+def test_shrink_applied_when_enabled(tmp_path):
+    tr = _mk_trainer(tmp_path, apply_shrink=True, proportional_shrink=10.0)
+    batches = _synthetic_batches(num_batches=1)
+    tr.train_one_iteration(0, iter(batches), lr=1e-3, dropout=0.0,
+                           shrink=0.5)
+    tr2 = _mk_trainer(tmp_path / "b")
+    tr2.train_one_iteration(0, iter(batches), lr=1e-3, dropout=0.0,
+                            shrink=0.5)  # shrink ignored (apply_shrink off)
+    n1 = float(np.abs(np.asarray(tr.params["embed"][0]["w"])).mean())
+    n2 = float(np.abs(np.asarray(tr2.params["embed"][0]["w"])).mean())
+    assert n1 < n2 * 0.75
+
+
+def test_archive_pipeline_feeds_trainer(tmp_path):
+    """End-to-end data plane → trainer: allocate, materialise, prefetch,
+    train one iteration."""
+    utt2len = {f"s{s}_u{u}": 300 for s in range(NUM_SPK) for u in range(2)}
+    utt2label = {u: int(u[1]) for u in utt2len}
+    cfg = A.AllocatorConfig(min_frames=48, max_frames=64, minibatch_size=8,
+                            num_repeats=2, frames_per_iter=3_000, seed=1,
+                            length_bucket=32)
+    (plan,) = A.allocate_archives(utt2len, utt2label, cfg, num_archives=1)
+    feats = {u: np.random.RandomState(i).randn(300, FEAT).astype(np.float32)
+             for i, u in enumerate(utt2len)}
+    path = str(tmp_path / "egs.0.xta")
+    AR.materialize_archive(plan, path, fetch=lambda u: feats[u])
+    tr = _mk_trainer(tmp_path)
+    with AR.ArchiveReader(path) as r:
+        stats = tr.train_one_iteration(
+            0, AR.PrefetchLoader(r), lr=1e-3, dropout=0.0, shrink=1.0)
+    assert np.isfinite(stats["loss"])

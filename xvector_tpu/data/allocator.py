@@ -1,0 +1,212 @@
+"""Chunk allocation: plan which (utterance, offset, length, label) chunks go
+into which minibatch of which training archive.
+
+Re-implements the active strategy of the reference's egs allocator
+(``create_egs.py:477-570`` ``our_splitting_per_archive``) with the same
+statistical guarantees:
+
+* one random chunk length per minibatch, uniform in
+  [min_frames, max_frames] (``create_egs.py:203-217`` deterministic per-RNG);
+* speaker balance: every speaker appears ``num_repeats`` times in a shuffled
+  draw pool per archive; utterances are sampled per speaker **without
+  replacement** until the speaker's list is exhausted, then refilled
+  (``get_random_utt_without_replacement``);
+* overlap control: a chunk's offset is resampled (bounded attempts) until its
+  overlap with previously-used chunks of the same *base* utterance — the
+  utterance id with its augmentation suffix stripped, so ``utt-noise`` and
+  ``utt-reverb`` count as the same recording — is ≤ ``accepted_overlap``
+  of the chunk length (``create_egs.py:247-282``, ``--accepted-overlap=0.2``);
+* archives are filled until ``frames_per_iter`` frames are planned
+  (``create_egs.py:503``).
+
+TPU-first change vs the reference: chunk lengths are quantised up to a
+multiple of ``length_bucket`` and chunks carry their true length, so each
+archive yields a small closed set of padded minibatch shapes → a bounded
+number of XLA compilations, with masked pooling/BN handling the pad frames.
+Setting ``length_bucket=1`` recovers exact reference behaviour.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+__all__ = ["ChunkSpec", "MinibatchPlan", "ArchivePlan", "AllocatorConfig",
+           "allocate_archives", "base_utt"]
+
+_AUG_SUFFIX = re.compile(r"-(noise|music|babble|reverb|rev\d*)$")
+
+
+def base_utt(utt: str) -> str:
+    """Strip one augmentation suffix so augmented copies share overlap
+    bookkeeping with their source recording (create_egs.py:285-307 strips
+    the trailing ``-suffix``)."""
+    return _AUG_SUFFIX.sub("", utt)
+
+
+@dataclass(frozen=True)
+class ChunkSpec:
+    utt: str
+    offset: int      # first frame
+    length: int      # true (unpadded) frame count
+    label: int       # speaker int id
+
+
+@dataclass(frozen=True)
+class MinibatchPlan:
+    chunks: Tuple[ChunkSpec, ...]
+    length: int          # true chunk length shared by the minibatch
+    padded_length: int   # bucketed length the tensor is padded to
+
+    @property
+    def frames(self) -> int:
+        return len(self.chunks) * self.length
+
+
+@dataclass(frozen=True)
+class ArchivePlan:
+    index: int
+    minibatches: Tuple[MinibatchPlan, ...]
+
+    @property
+    def frames(self) -> int:
+        return sum(mb.frames for mb in self.minibatches)
+
+    def to_ranges_lines(self) -> List[str]:
+        """Reference-compatible ranges rows ``<utt> <mb> <rel-idx> <offset>
+        <len> <label>`` (create_egs.py:533 format) for interop/debugging."""
+        lines = []
+        for mb_i, mb in enumerate(self.minibatches):
+            for rel, c in enumerate(mb.chunks):
+                lines.append(
+                    f"{c.utt} {mb_i} {rel} {c.offset} {c.length} {c.label}")
+        return lines
+
+
+@dataclass(frozen=True)
+class AllocatorConfig:
+    min_frames: int = 200           # run_xvector.sh:58
+    max_frames: int = 400           # run_xvector.sh:59
+    minibatch_size: int = 64        # run_xvector.sh:47
+    num_repeats: int = 35           # run_xvector.sh:62
+    frames_per_iter: int = 10 ** 9  # run_xvector.sh:56
+    accepted_overlap: float = 0.2   # get_egs.sh --accepted-overlap default
+    max_offset_attempts: int = 10
+    length_bucket: int = 32         # TPU shape-bucketing granularity
+    seed: int = 2468                # run_xvector.sh:85
+
+
+class _SpeakerSampler:
+    """Sample utterances per speaker without replacement, refilling when a
+    speaker's pool empties."""
+
+    def __init__(self, spk2utts: Dict[int, List[str]], rng: random.Random):
+        self._all = {s: list(us) for s, us in spk2utts.items()}
+        self._pool: Dict[int, List[str]] = {}
+        self._rng = rng
+
+    def draw(self, spk: int, min_len: int,
+             utt_len: Dict[str, int]) -> str | None:
+        pool = self._pool.get(spk)
+        if not pool:
+            pool = list(self._all[spk])
+            self._rng.shuffle(pool)
+            self._pool[spk] = pool
+        # scan from the end (pop is O(1)) for an utterance long enough
+        for i in range(len(pool) - 1, -1, -1):
+            if utt_len[pool[i]] >= min_len:
+                return pool.pop(i)
+        # none long enough in the remaining pool; try the full list once
+        candidates = [u for u in self._all[spk] if utt_len[u] >= min_len]
+        return self._rng.choice(candidates) if candidates else None
+
+
+class _OverlapTracker:
+    """Per-base-recording used-interval bookkeeping (create_egs.py:247-266)."""
+
+    def __init__(self):
+        self._used: Dict[str, List[Tuple[int, int]]] = {}
+
+    def overlap_frac(self, base: str, start: int, length: int) -> float:
+        worst = 0
+        for s, e in self._used.get(base, ()):
+            inter = min(e, start + length) - max(s, start)
+            if inter > worst:
+                worst = inter
+        return worst / length
+
+    def add(self, base: str, start: int, length: int):
+        self._used.setdefault(base, []).append((start, start + length))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
+                      cfg: AllocatorConfig,
+                      num_archives: int | None = None
+                      ) -> Iterator[ArchivePlan]:
+    """Yield archive plans.
+
+    utt2len: utterance → usable frame count (post-VAD).
+    utt2label: utterance → speaker int.
+    num_archives: stop after this many archives; default derives the count
+      from total frames as the reference does
+      (``get_egs.sh:120``: num_frames·num_repeats/frames_per_iter + 1).
+    """
+    utts = [u for u in utt2len if utt2len[u] >= cfg.min_frames]
+    if not utts:
+        raise ValueError("no utterance reaches min_frames")
+    spk2utts: Dict[int, List[str]] = {}
+    for u in utts:
+        spk2utts.setdefault(utt2label[u], []).append(u)
+
+    if num_archives is None:
+        total = sum(utt2len[u] for u in utts)
+        num_archives = total * cfg.num_repeats // cfg.frames_per_iter + 1
+
+    rng = random.Random(cfg.seed)
+    overlaps = _OverlapTracker()
+
+    for arch_i in range(num_archives):
+        sampler = _SpeakerSampler(spk2utts, rng)
+        draw_pool: List[int] = [s for s in spk2utts
+                                for _ in range(cfg.num_repeats)]
+        rng.shuffle(draw_pool)
+        pool_pos = 0
+        minibatches: List[MinibatchPlan] = []
+        frames_planned = 0
+        target = min(cfg.frames_per_iter,
+                     cfg.num_repeats
+                     * sum(utt2len[u] for u in utts) // max(num_archives, 1)
+                     + cfg.minibatch_size * cfg.max_frames)
+        while frames_planned < target:
+            length = rng.randint(cfg.min_frames, cfg.max_frames)
+            chunks: List[ChunkSpec] = []
+            while len(chunks) < cfg.minibatch_size:
+                if pool_pos >= len(draw_pool):
+                    rng.shuffle(draw_pool)
+                    pool_pos = 0
+                spk = draw_pool[pool_pos]
+                pool_pos += 1
+                utt = sampler.draw(spk, length, utt2len)
+                if utt is None:
+                    continue
+                max_off = utt2len[utt] - length
+                off = rng.randint(0, max_off) if max_off > 0 else 0
+                b = base_utt(utt)
+                for _ in range(cfg.max_offset_attempts):
+                    if overlaps.overlap_frac(b, off, length) \
+                            <= cfg.accepted_overlap:
+                        break
+                    off = rng.randint(0, max_off) if max_off > 0 else 0
+                overlaps.add(b, off, length)
+                chunks.append(ChunkSpec(utt, off, length, spk))
+            minibatches.append(MinibatchPlan(
+                tuple(chunks), length,
+                _round_up(length, cfg.length_bucket)))
+            frames_planned += minibatches[-1].frames
+        yield ArchivePlan(arch_i, tuple(minibatches))

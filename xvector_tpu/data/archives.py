@@ -1,0 +1,182 @@
+"""Training-archive materialisation and async loading.
+
+Replaces the reference's npy-in-tar archives + thread loaders
+(``create_tar_files.py:84-134``, ``examples_io.py:159-255``) with a
+flat-binary **XTA** container designed for the TPU input path:
+
+* minibatch tensors are stored contiguously as float16 (same on-disk dtype
+  as the reference, ``examples_io.py:165``), already padded to their bucketed
+  length, so a loader can hand them to ``jax.device_put`` without reshaping;
+* a JSON footer indexes every minibatch (byte offset, shape, true length),
+  making the format mmap/seek-friendly for a native (C++) loader;
+* writes are atomic (tmp + rename) and idempotent like the reference's
+  materialiser (``create_tar_files.py:123-129``).
+
+Loading mirrors the reference's bounded-queue prefetch thread
+(``examples_io.py:181-255``, queue size 16) so host disk I/O overlaps device
+compute, and keeps the disk-wait/device-wait accounting split the reference
+logs per minibatch (``models.py:240-289``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import struct
+import threading
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from .allocator import ArchivePlan
+
+__all__ = ["write_archive", "ArchiveReader", "PrefetchLoader",
+           "materialize_archive"]
+
+_MAGIC = b"XTA1"
+
+
+def write_archive(path: str, minibatches: Sequence[Tuple[np.ndarray,
+                                                         np.ndarray, int]]):
+    """Write [(features (B, Tpad, F) float16, labels (B,) int32,
+    true_length)] to an XTA file atomically."""
+    tmp = path + ".tmp"
+    index: List[Dict] = []
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<q", 0))   # footer offset placeholder
+        for feats, labels, true_len in minibatches:
+            feats = np.ascontiguousarray(feats, dtype=np.float16)
+            labels = np.ascontiguousarray(labels, dtype=np.int32)
+            entry = {"offset": f.tell(), "shape": list(feats.shape),
+                     "true_length": int(true_len)}
+            f.write(feats.tobytes())
+            entry["labels_offset"] = f.tell()
+            f.write(labels.tobytes())
+            index.append(entry)
+        footer_at = f.tell()
+        f.write(json.dumps({"minibatches": index}).encode())
+        f.seek(4)
+        f.write(struct.pack("<q", footer_at))
+    os.replace(tmp, path)
+
+
+class ArchiveReader:
+    """Random-access reader over an XTA archive."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        magic = self._f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: bad magic {magic!r}")
+        (footer_at,) = struct.unpack("<q", self._f.read(8))
+        self._f.seek(footer_at)
+        self.index = json.loads(self._f.read())["minibatches"]
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def read(self, i: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        e = self.index[i]
+        shape = tuple(e["shape"])
+        nbytes = int(np.prod(shape)) * 2
+        self._f.seek(e["offset"])
+        feats = np.frombuffer(self._f.read(nbytes),
+                              dtype=np.float16).reshape(shape)
+        self._f.seek(e["labels_offset"])
+        labels = np.frombuffer(self._f.read(shape[0] * 4), dtype=np.int32)
+        return feats, labels, e["true_length"]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.read(i)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def materialize_archive(plan: ArchivePlan, path: str,
+                        fetch: Callable[[str], np.ndarray],
+                        shuffle_seed: int | None = None):
+    """Materialise one archive plan: read each chunk's feature rows via
+    ``fetch(utt) -> (T, F)``, pad to the minibatch's bucketed length, store
+    float16.  ``shuffle_seed`` shuffles minibatch order on disk (the
+    reference shuffles at load time, train_dnn_one_iteration.py:184-188).
+    Skips work if ``path`` already exists (idempotent restart)."""
+    if os.path.exists(path):
+        return
+    cache: Dict[str, np.ndarray] = {}
+
+    def rows(utt):
+        if utt not in cache:
+            cache[utt] = np.asarray(fetch(utt), dtype=np.float32)
+        return cache[utt]
+
+    out = []
+    for mb in plan.minibatches:
+        feat_dim = rows(mb.chunks[0].utt).shape[1]
+        x = np.zeros((len(mb.chunks), mb.padded_length, feat_dim),
+                     dtype=np.float16)
+        y = np.empty(len(mb.chunks), dtype=np.int32)
+        for i, c in enumerate(mb.chunks):
+            x[i, : c.length] = rows(c.utt)[c.offset: c.offset + c.length]
+            y[i] = c.label
+        out.append((x, y, mb.length))
+        # bound the per-utterance cache: archives visit many utterances once
+        if len(cache) > 512:
+            cache.clear()
+    if shuffle_seed is not None:
+        rng = np.random.RandomState(shuffle_seed)
+        order = rng.permutation(len(out))
+        out = [out[i] for i in order]
+    write_archive(path, out)
+
+
+class PrefetchLoader:
+    """Background-thread minibatch prefetcher with wait-time accounting.
+
+    Yields (feats f32 (B, Tpad, F), labels (B,), mask (B, Tpad) f32).
+    ``disk_wait``/``consumer`` timings let the trainer report the same
+    load-balance signal as the reference (models.py:276-282).
+    """
+
+    def __init__(self, reader: ArchiveReader, queue_size: int = 16):
+        self._reader = reader
+        self._q: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._err: list = []
+        self.disk_wait = 0.0
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for feats, labels, true_len in self._reader:
+                t_pad = feats.shape[1]
+                mask = np.zeros((feats.shape[0], t_pad), dtype=np.float32)
+                mask[:, :true_len] = 1.0
+                self._q.put((feats.astype(np.float32), labels, mask))
+        except Exception as e:  # surface loader errors to the consumer
+            self._err.append(e)
+        finally:
+            self._q.put(None)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        import time
+        while True:
+            t0 = time.monotonic()
+            item = self._q.get()
+            self.disk_wait += time.monotonic() - t0
+            if item is None:
+                if self._err:
+                    raise self._err[0]
+                return
+            yield item

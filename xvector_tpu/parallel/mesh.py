@@ -1,0 +1,86 @@
+"""Device mesh + sharding layout for multi-chip training.
+
+Replaces the reference's process-level "parallelism" — per-iteration SGE job
+spawns whose checkpoints are averaged on NFS (``train_dnn.py:247-304``,
+stub averaging ``ze_utils.py:164-183``) — with synchronous SPMD over a
+``(data, model)`` mesh:
+
+* the batch axis is sharded over ``data``; gradient all-reduce is a psum XLA
+  inserts over ICI, which *supersedes* checkpoint averaging (SURVEY §2.3);
+* the classifier head (embed_dim × num_speakers) is sharded over ``model``
+  when the speaker count grows (BASELINE config 5: ~7k speakers is fine on
+  one chip; the layout is ready for far larger counts);
+* everything else is replicated.
+
+Single-process multi-host bring-up goes through
+``jax.distributed.initialize`` (`init_distributed`); on one host the same
+code runs on however many local devices exist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "param_shardings",
+           "replicated", "init_distributed"]
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Bring up the multi-host runtime (no-op on a single process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ``(data, model)`` mesh. ``data=-1`` → use all remaining
+    devices on the data axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis sharded over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Sharding pytree for model params: classifier head column-sharded over
+    ``model``, all other tensors replicated.
+
+    Matches xvector_tpu.models.tdnn's params layout: the head lives at
+    ``params["output"]`` with ``w: (D, C)``, ``b: (C,)``.
+    """
+    rep = replicated(mesh)
+    head_w = NamedSharding(mesh, P(None, "model"))
+    head_b = NamedSharding(mesh, P("model"))
+
+    def assign(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "output" in keys:
+            if "w" in keys:
+                return head_w
+            if "b" in keys:
+                return head_b
+        return rep
+
+    return jax.tree_util.tree_map_with_path(assign, params)

@@ -1,0 +1,103 @@
+"""Iteration checkpoints with reference-compatible lifecycle semantics.
+
+Mirrors the reference's checkpoint protocol (``models.py:130-162`` save/load,
+``train_dnn.py:344-346`` resume-by-skip, ``ze_utils.py:186-194`` GC keeping
+the last two + every ``preserve_model_interval``-th, ``train_dnn.py:583``
+``model_final`` symlink, ``done`` sentinel ``ze_utils.py:561-567``) on top of
+orbax, which gives atomic commit and sharding-aware multi-host save/restore.
+
+Layout: ``<work_dir>/model_<iter>/{ckpt/, done}``; ``model_final`` is a
+symlink to the last iteration's directory.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import TYPE_CHECKING
+
+import orbax.checkpoint as ocp
+
+if TYPE_CHECKING:
+    from .trainer import Trainer
+
+__all__ = ["save_iteration", "restore_latest", "restore_into",
+           "collect_garbage", "mark_final", "iteration_dirs",
+           "is_complete"]
+
+
+def _iter_dir(work_dir: str, it: int) -> str:
+    return os.path.join(os.path.abspath(work_dir), f"model_{it}")
+
+
+def is_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "done"))
+
+
+def save_iteration(trainer: "Trainer", it: int):
+    d = _iter_dir(trainer.work_dir, it)
+    ckpt = os.path.join(d, "ckpt")
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt, {"params": trainer.params,
+                          "state": trainer.state,
+                          "opt_state": trainer.opt_state})
+    with open(os.path.join(d, "done"), "w") as f:
+        f.write("done\n")
+
+
+def restore_into(trainer: "Trainer", path: str):
+    """Restore a checkpoint dir into the trainer's live pytrees (which act
+    as the sharded abstract targets)."""
+    ckpt = os.path.join(path, "ckpt")
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {"params": trainer.params, "state": trainer.state,
+                  "opt_state": trainer.opt_state}
+        restored = ckptr.restore(ckpt, target)
+    trainer.params = restored["params"]
+    trainer.state = restored["state"]
+    trainer.opt_state = restored["opt_state"]
+
+
+def iteration_dirs(work_dir: str):
+    out = []
+    if not os.path.isdir(work_dir):
+        return out
+    for name in os.listdir(work_dir):
+        if name.startswith("model_") and name[6:].isdigit():
+            out.append((int(name[6:]), os.path.join(work_dir, name)))
+    return sorted(out)
+
+
+def restore_latest(trainer: "Trainer", start_iter: int = 0) -> int:
+    """Resume from the newest complete iteration checkpoint ≥ start_iter.
+    Returns the iteration index to continue from."""
+    best = None
+    for it, path in iteration_dirs(trainer.work_dir):
+        if it >= start_iter and is_complete(path):
+            best = (it, path)
+    if best is None:
+        return start_iter
+    restore_into(trainer, best[1])
+    return best[0]
+
+
+def collect_garbage(work_dir: str, current_iter: int,
+                    preserve_interval: int):
+    """Keep the last two iterations + every preserve_interval-th
+    (ze_utils.py:186-194)."""
+    for it, path in iteration_dirs(work_dir):
+        if it >= current_iter - 1:
+            continue
+        if preserve_interval > 0 and it % preserve_interval == 0:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def mark_final(work_dir: str, final_iter: int):
+    link = os.path.join(work_dir, "model_final")
+    target = f"model_{final_iter}"
+    if os.path.islink(link) or os.path.exists(link):
+        os.remove(link)
+    os.symlink(target, link)

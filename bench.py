@@ -1,0 +1,127 @@
+"""Headline benchmark: training throughput in audio-seconds/s/chip.
+
+Measures the full jitted train step (forward + backward + Adam + BN EMA) on
+the parity model (ModelWithoutDropout: 5×conv + stats pooling + 2×FC +
+~7k-speaker softmax) at the recipe's working point: minibatch 64, 300-frame
+chunks (10 ms shift ⇒ 3 s audio/chunk), 23-dim MFCC — run_xvector.sh:47-59.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_s/s/chip", "vs_baseline": N,
+   extra keys: extract_embeddings_per_s, step_ms, device}
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md), so the baseline is this framework's first recorded run,
+persisted to BENCH_BASELINE.json — i.e. the number tracks regressions/
+improvements across rounds (1.0 on the first run).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+NUM_SPEAKERS = 7185          # SRE-scale speaker count (SURVEY §6)
+MINIBATCH = 64               # run_xvector.sh:47
+FRAMES = 304                 # ~recipe mean chunk (200-400), bucketed
+FEAT_DIM = 23
+FRAME_SHIFT_S = 0.01
+STEPS = 30
+
+
+def bench_train(jax, jnp):
+    from xvector_tpu.models import tdnn
+    from xvector_tpu.train.trainer import TrainConfig, make_train_step
+    import optax
+
+    cfg = TrainConfig(model="no_dropout", num_targets=NUM_SPEAKERS,
+                      compute_dtype="bfloat16")
+    model_cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg,
+                                     NUM_SPEAKERS)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(model_cfg, cfg, opt)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(MINIBATCH, FRAMES, FEAT_DIM)
+                    .astype(np.float32))
+    y = jnp.asarray(rng.randint(0, NUM_SPEAKERS, MINIBATCH)
+                    .astype(np.int32))
+    mask = jnp.ones((MINIBATCH, FRAMES), jnp.float32)
+    w = jnp.ones((MINIBATCH,), jnp.float32)
+    lr = jnp.float32(1e-3)
+    keep = jnp.float32(1.0)
+    shrink = jnp.float32(1.0)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    params, opt_state, state, m = step(params, opt_state, state, x, y,
+                                       mask, w, lr, keep, shrink, key)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        params, opt_state, state, m = step(params, opt_state, state, x, y,
+                                           mask, w, lr, keep, shrink, key)
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - t0) / STEPS
+    audio_s = MINIBATCH * FRAMES * FRAME_SHIFT_S
+    return audio_s / dt, dt * 1e3
+
+
+def bench_extract(jax, jnp):
+    from xvector_tpu.models import tdnn
+    model_cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg, 512)
+
+    @jax.jit
+    def fwd(x, mask):
+        return tdnn.extract_xvector(model_cfg, params, state, x, mask,
+                                    compute_dtype=jnp.bfloat16)
+
+    b, t = 32, 1024          # ~10 s utterances, batched
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, t, FEAT_DIM).astype(np.float32))
+    mask = jnp.ones((b, t), jnp.float32)
+    jax.block_until_ready(fwd(x, mask))
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        out = fwd(x, mask)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    return b / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    device = str(jax.devices()[0])
+    train_tp, step_ms = bench_train(jax, jnp)
+    extract_tp = bench_extract(jax, jnp)
+
+    if os.path.exists(BASELINE_FILE):
+        baseline = json.load(open(BASELINE_FILE))["value"]
+    else:
+        baseline = train_tp
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"value": train_tp, "device": device,
+                       "note": "first recorded run (reference repo "
+                               "publishes no throughput numbers)"}, f)
+
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_second_per_chip",
+        "value": round(train_tp, 1),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(train_tp / baseline, 3),
+        "step_ms": round(step_ms, 2),
+        "extract_embeddings_per_s": round(extract_tp, 1),
+        "device": device,
+    }))
+
+
+if __name__ == "__main__":
+    main()

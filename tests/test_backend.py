@@ -1,0 +1,154 @@
+"""Back-end tests: LDA/length-norm properties, PLDA recovers a planted
+two-covariance model and separates speakers, adaptation behaviour, EER and
+minDCF on synthetic score distributions."""
+
+import numpy as np
+import pytest
+
+from xvector_tpu.backend import metrics as M
+from xvector_tpu.backend import plda as P
+
+
+def _synth_speakers(n_spk=20, n_utt=10, dim=8, between=4.0, within=1.0,
+                    seed=0):
+    rng = np.random.RandomState(seed)
+    spk2vecs = {}
+    for s in range(n_spk):
+        mu = rng.randn(dim) * np.sqrt(between)
+        spk2vecs[f"s{s}"] = mu + rng.randn(n_utt, dim) * np.sqrt(within)
+    return spk2vecs
+
+
+def test_length_normalize():
+    v = np.random.RandomState(0).randn(5, 16)
+    out = P.length_normalize(v)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                               np.full(5, 4.0), rtol=1e-9)
+    single = P.length_normalize(v[0])
+    np.testing.assert_allclose(single, out[0])
+
+
+def test_lda_separates_classes():
+    rng = np.random.RandomState(1)
+    # two informative dims + six noise dims
+    spk2vecs = {}
+    for s in range(10):
+        mu = np.zeros(8)
+        mu[:2] = rng.randn(2) * 5
+        spk2vecs[f"s{s}"] = mu + rng.randn(30, 8)
+    lda = P.train_lda(spk2vecs, dim=2)
+    # projected within-class scatter should be far below between-class
+    proj = {s: lda(v) for s, v in spk2vecs.items()}
+    within = np.mean([v.var(0).sum() for v in proj.values()])
+    means = np.stack([v.mean(0) for v in proj.values()])
+    between = means.var(0).sum()
+    assert between > 5 * within
+
+
+def test_plda_diagonalization_invariants():
+    spk2vecs = _synth_speakers()
+    model = P.train_plda(spk2vecs)
+    d = model.psi.shape[0]
+    # transform must whiten the within covariance: T W Tᵀ = I.  Recover
+    # within/between from the model by construction checks:
+    inv_t = np.linalg.inv(model.transform)
+    w = inv_t @ np.eye(d) @ inv_t.T
+    b = inv_t @ np.diag(model.psi) @ inv_t.T
+    # within ≈ planted 1.0·I, between ≈ planted 4.0·I (loose: EM estimate)
+    assert np.abs(np.diag(w).mean() - 1.0) < 0.4
+    assert np.abs(np.diag(b).mean() - 4.0) < 2.0
+    assert np.all(model.psi[:-1] >= model.psi[1:])   # sorted descending
+
+
+def test_plda_llr_separates_trials():
+    spk2vecs = _synth_speakers(n_spk=30, n_utt=8)
+    model = P.train_plda(spk2vecs)
+    rng = np.random.RandomState(9)
+    # held-out vectors from the same generative process
+    scores, labels = [], []
+    enroll, test = {}, {}
+    gen = _synth_speakers(n_spk=15, n_utt=2, seed=99)
+    for s, v in gen.items():
+        enroll[s] = v[0]
+        test[s] = v[1]
+    trials = []
+    for s in gen:
+        for t in gen:
+            trials.append((s, t))
+            labels.append(1 if s == t else 0)
+    llr = model.score_trials(enroll, test, trials)
+    labels = np.array(labels)
+    assert llr[labels == 1].mean() > llr[labels == 0].mean() + 2.0
+    assert M.eer(llr, labels) < 0.15
+
+
+def test_plda_multi_enroll_improves():
+    """Averaging more enrollment utterances must raise target LLRs
+    (the --num-utts path of ivector-plda-scoring)."""
+    spk2vecs = _synth_speakers(n_spk=30, n_utt=8)
+    model = P.train_plda(spk2vecs)
+    gen = _synth_speakers(n_spk=10, n_utt=5, seed=7)
+    proj = {s: model.project(v) for s, v in gen.items()}
+    single = np.mean([model.llr(proj[s][0], proj[s][4], 1)[0]
+                      for s in gen])
+    multi = np.mean([model.llr(proj[s][:4].mean(0), proj[s][4], 4)[0]
+                     for s in gen])
+    assert multi > single
+
+
+def test_plda_adapt_moves_toward_domain():
+    spk2vecs = _synth_speakers()
+    model = P.train_plda(spk2vecs)
+    # "in-domain" data with inflated variance in one direction
+    rng = np.random.RandomState(3)
+    shift = np.zeros(8)
+    dom = rng.randn(500, 8)
+    dom[:, 0] *= 5.0
+    adapted = model.adapt(dom)
+    assert adapted.psi.shape == model.psi.shape
+    # adapted total covariance along dim0 direction must grow
+    inv_t = np.linalg.inv(adapted.transform)
+    tot_ad = inv_t @ np.diag(1 + adapted.psi) @ inv_t.T
+    inv_t0 = np.linalg.inv(model.transform)
+    tot_0 = inv_t0 @ np.diag(1 + model.psi) @ inv_t0.T
+    assert tot_ad[0, 0] > tot_0[0, 0] * 1.5
+
+
+def test_plda_save_load_roundtrip(tmp_path):
+    model = P.train_plda(_synth_speakers())
+    p = str(tmp_path / "plda.npz")
+    model.save(p)
+    back = P.Plda.load(p)
+    np.testing.assert_array_equal(back.psi, model.psi)
+    np.testing.assert_array_equal(back.transform, model.transform)
+
+
+def test_eer_known_distributions():
+    rng = np.random.RandomState(0)
+    tgt = rng.randn(5000) + 2.0
+    non = rng.randn(5000) - 2.0
+    scores = np.concatenate([tgt, non])
+    labels = np.concatenate([np.ones(5000), np.zeros(5000)])
+    # analytic EER for equal unit variances at separation 4: Φ(-2) ≈ 2.28%
+    e = M.eer(scores, labels)
+    assert abs(e - 0.0228) < 0.01
+
+
+def test_eer_perfect_and_random():
+    scores = np.array([5.0, 4.0, -4.0, -5.0])
+    labels = np.array([1, 1, 0, 0])
+    assert M.eer(scores, labels) == 0.0
+    rng = np.random.RandomState(1)
+    s = rng.randn(20000)
+    l = rng.randint(0, 2, 20000)
+    assert abs(M.eer(s, l) - 0.5) < 0.02
+
+
+def test_min_dcf_bounds():
+    scores = np.array([5.0, 4.0, -4.0, -5.0])
+    labels = np.array([1, 1, 0, 0])
+    assert M.min_dcf(scores, labels) == 0.0
+    rng = np.random.RandomState(1)
+    s = rng.randn(5000)
+    l = rng.randint(0, 2, 5000)
+    assert 0.9 < M.min_dcf(s, l) <= 1.01

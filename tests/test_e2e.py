@@ -1,0 +1,114 @@
+"""End-to-end mini recipe on a synthetic corpus (milestone M1, SURVEY §7.4):
+waveforms → MFCC/VAD → egs → training → extraction → PLDA → EER.
+
+Speakers are synthesised with distinct resonant spectra, so a working
+pipeline must reach a far-below-chance EER; a broken link anywhere
+(features, chunking, training, extraction, scoring) pushes it toward 50 %.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from xvector_tpu.cli.run import Recipe, RecipeConfig
+from xvector_tpu.data.allocator import AllocatorConfig
+from xvector_tpu.extract.extractor import ExtractorConfig
+from xvector_tpu.io.datadir import DataDir
+from xvector_tpu.train.trainer import TrainConfig
+
+SR = 8000
+NUM_SPK = 8
+UTTS_PER_SPK = 6
+
+
+def _make_corpus(seed=0):
+    """Each speaker = 2 resonant tones + noise; utterances vary phase/noise."""
+    rng = np.random.RandomState(seed)
+    f0 = rng.uniform(300, 3000, size=(NUM_SPK, 2))
+    waves, utt2spk = {}, {}
+    for s in range(NUM_SPK):
+        for u in range(UTTS_PER_SPK):
+            dur = int(SR * rng.uniform(1.8, 2.5))
+            t = np.arange(dur) / SR
+            w = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+                    for f in f0[s])
+            w = 3000 * w + 300 * rng.randn(dur)
+            utt = f"spk{s}_utt{u}"
+            waves[utt] = w.astype(np.float32)
+            utt2spk[utt] = f"spk{s}"
+    return waves, utt2spk
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("e2e"))
+    waves, utt2spk = _make_corpus()
+    data = DataDir(utt2spk=utt2spk)
+    cfg = RecipeConfig(
+        work_dir=work,
+        min_utt_frames=60,
+        num_valid_utts=4,
+        num_archives=2,
+        allocator=AllocatorConfig(min_frames=60, max_frames=120,
+                                  minibatch_size=8, num_repeats=3,
+                                  frames_per_iter=30_000, seed=1,
+                                  length_bucket=32),
+        train=TrainConfig(model="tiny", num_targets=1, num_epochs=2,
+                          compute_dtype="float32",
+                          initial_effective_lrate=2e-3,
+                          final_effective_lrate=5e-4),
+        extractor=ExtractorConfig(min_chunk=25, max_chunk=400,
+                                  batch_size=8,
+                                  buckets=(64, 128, 192, 256, 320, 416)),
+        lda_dim=6,
+    )
+    recipe = Recipe(cfg)
+    feat_dir = recipe.make_features(data, lambda u: waves[u], split="all")
+    train_dir, valid_dir, num_targets = recipe.make_egs(feat_dir)
+    trainer = recipe.train(num_targets)
+    return recipe, feat_dir, train_dir, valid_dir, trainer
+
+
+def test_e2e_training_learns(pipeline):
+    recipe, _, _, _, trainer = pipeline
+    import json
+    lines = [json.loads(l) for l in
+             open(os.path.join(trainer.work_dir, "metrics.jsonl"))]
+    train_lines = [l for l in lines if l["kind"] == "train"]
+    assert train_lines[-1]["loss"] < train_lines[0]["loss"]
+    assert train_lines[-1]["accuracy"] > 0.5
+
+
+def test_e2e_eer_far_below_chance(pipeline):
+    recipe, feat_dir, train_dir, valid_dir, trainer = pipeline
+    xv = recipe.extract(trainer, feat_dir, split="all")
+    assert len(xv) >= 0.9 * len(feat_dir)
+    train_xv = {u: xv[u] for u in train_dir.utts if u in xv}
+    # enroll: utts 0-2 per speaker (averaged); test: utts 3-5
+    enroll_xv = {u: v for u, v in xv.items() if int(u.split("utt")[1]) < 3}
+    test_xv = {u: v for u, v in xv.items() if int(u.split("utt")[1]) >= 3}
+    spk_enroll, num_utts = __import__(
+        "xvector_tpu.extract.extractor", fromlist=["speaker_means"]
+    ).speaker_means(enroll_xv, feat_dir.utt2spk)
+    trials = []
+    for spk in spk_enroll:
+        for t_utt in test_xv:
+            trials.append((spk, t_utt,
+                           1 if feat_dir.utt2spk[t_utt] == spk else 0))
+    res = recipe.score(train_xv, train_dir, spk_enroll, test_xv, trials,
+                       adapt_xv=None)
+    assert res["num_trials"] == len(trials)
+    assert res["eer"] < 0.20, f"EER {res['eer']:.3f} not separating speakers"
+    assert res["min_dcf"] <= 1.0
+
+
+def test_e2e_idempotent_restart(pipeline):
+    """Re-running feature + egs stages must reuse on-disk artifacts."""
+    recipe, feat_dir, train_dir, valid_dir, trainer = pipeline
+    ark = os.path.join(recipe.cfg.work_dir, "feats_all.ark")
+    mtime = os.path.getmtime(ark)
+    waves, utt2spk = _make_corpus()
+    recipe.make_features(DataDir(utt2spk=utt2spk),
+                         lambda u: 1 / 0, split="all")  # provider unused
+    assert os.path.getmtime(ark) == mtime

@@ -1,0 +1,106 @@
+"""Extractor tests: chunk-and-average parity with a naive per-utterance
+reference computation, bucketing/batching correctness, edge cases."""
+
+import jax
+import numpy as np
+import pytest
+
+from xvector_tpu.extract.extractor import (ExtractorConfig, XvectorExtractor,
+                                           preprocess, speaker_means)
+from xvector_tpu.models import tdnn
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = tdnn.init_params(KEY, cfg, num_classes=7)
+    return cfg, params, state
+
+
+def _naive_xvector(model, feats, min_chunk, max_chunk):
+    """Reference semantics (models.py:396-421): consecutive chunks of
+    ≤max_chunk, drop tail <min_chunk, frame-weighted average; each chunk
+    forwarded unpadded at batch 1."""
+    cfg, params, state = model
+    total, weight = 0.0, 0.0
+    for off in range(0, feats.shape[0], max_chunk):
+        ln = min(max_chunk, feats.shape[0] - off)
+        if ln < min_chunk:
+            continue
+        xv = np.asarray(tdnn.extract_xvector(
+            cfg, params, state, feats[None, off:off + ln]))[0]
+        total = total + ln * xv
+        weight += ln
+    return (total / weight).astype(np.float32)
+
+
+def test_matches_naive_reference(model):
+    cfg, params, state = model
+    ex = XvectorExtractor(cfg, params, state,
+                          ExtractorConfig(min_chunk=25, max_chunk=100,
+                                          batch_size=4,
+                                          buckets=(32, 64, 128)))
+    rng = np.random.RandomState(0)
+    utts = {f"u{i}": rng.randn(40 + 57 * i, 23).astype(np.float32)
+            for i in range(5)}
+    got = ex.extract(utts.items())
+    assert set(got) == set(utts)
+    for k, feats in utts.items():
+        want = _naive_xvector(model, feats, 25, 100)
+        np.testing.assert_allclose(got[k], want, rtol=1e-3, atol=1e-3)
+
+
+def test_short_utterance_skipped(model):
+    cfg, params, state = model
+    ex = XvectorExtractor(cfg, params, state,
+                          ExtractorConfig(min_chunk=25, max_chunk=100,
+                                          batch_size=2, buckets=(128,)))
+    rng = np.random.RandomState(1)
+    got = ex.extract([("tiny", rng.randn(10, 23).astype(np.float32)),
+                      ("ok", rng.randn(50, 23).astype(np.float32))])
+    assert "tiny" not in got and "ok" in got
+
+
+def test_long_utterance_chunked(model):
+    cfg, params, state = model
+    ex = XvectorExtractor(cfg, params, state,
+                          ExtractorConfig(min_chunk=25, max_chunk=64,
+                                          batch_size=8, buckets=(64,)))
+    rng = np.random.RandomState(2)
+    feats = rng.randn(200, 23).astype(np.float32)   # 64+64+64+8: tail drop
+    got = ex.extract([("long", feats)])
+    want = _naive_xvector(model, feats, 25, 64)
+    np.testing.assert_allclose(got["long"], want, rtol=1e-3, atol=1e-3)
+
+
+def test_streaming_yields_all(model):
+    cfg, params, state = model
+    ex = XvectorExtractor(cfg, params, state,
+                          ExtractorConfig(min_chunk=25, max_chunk=50,
+                                          batch_size=3, buckets=(64,)))
+    rng = np.random.RandomState(3)
+    n = 11
+    stream = ((f"u{i}", rng.randn(30 + 7 * i, 23).astype(np.float32))
+              for i in range(n))
+    seen = [k for k, _ in ex.extract_iter(stream)]
+    assert sorted(seen) == sorted(f"u{i}" for i in range(n))
+
+
+def test_preprocess_applies_cmvn_and_vad():
+    rng = np.random.RandomState(4)
+    feats = rng.randn(400, 23).astype(np.float32) + 7.0
+    vad = (rng.rand(400) > 0.3).astype(np.float32)
+    out = preprocess(feats, cmvn_window=300, vad=vad)
+    assert out.shape[0] == int(vad.sum())
+    assert abs(out.mean()) < 0.5     # centering removed the +7 offset
+
+
+def test_speaker_means():
+    xv = {"u1": np.ones(4, np.float32), "u2": 3 * np.ones(4, np.float32),
+          "u3": np.zeros(4, np.float32)}
+    u2s = {"u1": "a", "u2": "a", "u3": "b"}
+    means, counts = speaker_means(xv, u2s)
+    np.testing.assert_allclose(means["a"], 2 * np.ones(4))
+    assert counts == {"a": 2, "b": 1}

@@ -21,28 +21,40 @@ import jax.numpy as jnp
 __all__ = ["softmax_ce", "accuracy", "am_softmax"]
 
 
-def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean cross-entropy with integer labels (B,). Stable log-softmax."""
+def _wmean(x: jnp.ndarray, weight) -> jnp.ndarray:
+    if weight is None:
+        return jnp.mean(x)
+    return jnp.sum(x * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+
+
+def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+               weight=None) -> jnp.ndarray:
+    """Mean cross-entropy with integer labels (B,). Stable log-softmax.
+    ``weight`` (B,) excludes zero-weight pad rows (mesh batch padding)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(nll)
+    return _wmean(nll, weight)
 
 
-def accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+def accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
+             weight=None) -> jnp.ndarray:
+    return _wmean((jnp.argmax(logits, -1) == labels).astype(jnp.float32),
+                  weight)
 
 
 def am_softmax(hidden: jnp.ndarray, weight: jnp.ndarray,
                labels: jnp.ndarray, scale: float = 30.0,
-               margin: float = 0.2) -> tuple[jnp.ndarray, jnp.ndarray]:
+               margin: float = 0.2,
+               row_weight=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Additive-margin softmax loss.
 
     hidden: (B, D) embeddings; weight: (D, C) classifier (bias-free).
     Returns (mean loss, margin-free cosine logits for accuracy).
     """
-    h = hidden / jnp.linalg.norm(hidden, axis=-1, keepdims=True)
+    h = hidden / jnp.maximum(
+        jnp.linalg.norm(hidden, axis=-1, keepdims=True), 1e-12)
     w = weight / jnp.linalg.norm(weight, axis=0, keepdims=True)
     cos = h @ w                                           # (B, C)
     onehot = jax.nn.one_hot(labels, cos.shape[-1], dtype=cos.dtype)
     logits = scale * (cos - margin * onehot)
-    return softmax_ce(logits, labels), scale * cos
+    return softmax_ce(logits, labels, row_weight), scale * cos

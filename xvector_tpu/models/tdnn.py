@@ -101,6 +101,9 @@ MODEL_ZOO: Dict[str, TdnnConfig] = {
         name="l2_lrelu_attention", activation="lrelu", l2_beta=2e-4,
         channels=(512, 512, 512, 512, 6 * 512), pooling="attention"),
     "l2_relu_he": TdnnConfig(name="l2_relu_he", l2_beta=2e-4, init="he"),
+    # reduced-width config for CI / smoke runs (no reference counterpart)
+    "tiny": TdnnConfig(name="tiny", channels=(32, 32, 32, 32, 96),
+                       embed_dims=(64, 64)),
 }
 
 # Reference TF class name → preset, for CLI parity with
@@ -250,12 +253,20 @@ def _conv1d_same(x, w, dilation: int):
 
     Expressed as lax.conv_general_dilated with NWC/WIO layout — XLA lowers
     this to MXU matmuls; a fused Pallas path lives in ops/tdnn_kernel.py.
+    Runs uniformly in the weight dtype (bf16 feeds the MXU at 2× rate; the
+    MXU still accumulates in f32 internally).  No preferred_element_type:
+    mixed-dtype convs break the VJP transpose rule on this JAX version.
     """
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding="SAME",
+        x.astype(w.dtype), w, window_strides=(1,), padding="SAME",
         rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NWC", "WIO", "NWC"))
+
+
+def _affine(x, w, b, compute_dtype):
+    """x @ w + b with bf16-capable operands and f32 accumulation."""
+    return jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                   preferred_element_type=jnp.float32) + b
 
 
 def stats_pooling(h, mask=None, eps: float = VAR2STD_EPSILON):
@@ -287,7 +298,7 @@ def attention_pooling(h, att: Params, mask=None, eps: float = VAR2STD_EPSILON):
 # ---------------------------------------------------------------------------
 
 def apply(cfg: TdnnConfig, params: Params, state: State, x,
-          *, mask=None, train: bool = False,
+          *, mask=None, row_weight=None, train: bool = False,
           dropout_keep: float | jnp.ndarray = 1.0,
           rng: Optional[jax.Array] = None,
           compute_dtype=jnp.float32) -> Dict[str, Any]:
@@ -296,6 +307,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
     Args:
       x: (B, T, feat_dim) features.
       mask: optional (B, T) 1/0 frame-validity mask for padded batches.
+      row_weight: optional (B,) 1/0 row validity (mesh batch padding);
+        zero-weight rows are excluded from batch-norm statistics.
       train: BN/dropout mode (static).
       dropout_keep: keep probability (traced OK; only used when
         cfg.use_dropout and train).
@@ -309,6 +322,10 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
       (scalar, already beta-scaled), ``state`` (new BN state).
     """
     m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    rw = (None if row_weight is None
+          else row_weight.astype(jnp.float32)[:, None])
+    if rw is not None:
+        m = rw[..., None] if m is None else m * rw[..., None]
     new_state: State = {"frame": [], "embed": []}
     h = x.astype(compute_dtype)
     dropkeys = (jax.random.split(rng, 8) if rng is not None else None)
@@ -326,7 +343,7 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
         return jnp.where(mask_, h / keep, 0.0)
 
     if m is not None:
-        h = h * m   # zero pad frames so convs see SAME-style zero padding
+        h = h * m.astype(h.dtype)  # zero pad frames (SAME-style padding)
     for i, layer in enumerate(params["frame"]):
         h = _conv1d_same(h, layer["w"].astype(compute_dtype),
                          cfg.dilations[i]) + layer["b"]
@@ -334,7 +351,7 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
         h, bn_s = _batch_norm(h, layer["bn"], state["frame"][i], m,
                               train, cfg)
         if m is not None:
-            h = h * m   # keep pad positions zero for the next conv window
+            h = h * m.astype(h.dtype)  # keep pad positions zero for next conv
         new_state["frame"].append(bn_s)
         if i != cfg.num_frame_layers - 1:
             h = dropout(h)
@@ -348,8 +365,7 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
     h = pooled
     xvector = None
     for i, layer in enumerate(params["embed"]):
-        pre = h.astype(compute_dtype) @ layer["w"].astype(compute_dtype) \
-            + layer["b"]
+        pre = _affine(h, layer["w"], layer["b"], compute_dtype)
         if i == 0:
             xvector = pre.astype(jnp.float32)
         if cfg.l2_beta > 0.0:
@@ -357,15 +373,14 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
             l2 = l2 + scale * 0.5 * (jnp.sum(jnp.square(layer["w"]))
                                      + jnp.sum(jnp.square(layer["b"])))
         h = _activate(cfg, layer, pre)
-        h, bn_s = _batch_norm(h, layer["bn"], state["embed"][i], None,
+        h, bn_s = _batch_norm(h, layer["bn"], state["embed"][i], rw,
                               train, cfg)
         new_state["embed"].append(bn_s)
         if i != len(cfg.embed_dims) - 1:
             h = dropout(h)
 
     out = params["output"]
-    logits = h.astype(compute_dtype) @ out["w"].astype(compute_dtype) \
-        + out["b"]
+    logits = _affine(h, out["w"], out["b"], compute_dtype)
     if cfg.l2_beta > 0.0:
         l2 = l2 + 0.5 * (jnp.sum(jnp.square(out["w"]))
                          + jnp.sum(jnp.square(out["b"])))
@@ -386,18 +401,18 @@ def extract_xvector(cfg: TdnnConfig, params: Params, state: State, x,
     m = None if mask is None else mask.astype(jnp.float32)[..., None]
     h = x.astype(compute_dtype)
     if m is not None:
-        h = h * m
+        h = h * m.astype(h.dtype)
     for i, layer in enumerate(params["frame"]):
         h = _conv1d_same(h, layer["w"].astype(compute_dtype),
                          cfg.dilations[i]) + layer["b"]
         h = _activate(cfg, layer, h)
         h, _ = _batch_norm(h, layer["bn"], state["frame"][i], m, False, cfg)
         if m is not None:
-            h = h * m
+            h = h * m.astype(h.dtype)
     if cfg.pooling == "attention":
         pooled = attention_pooling(h, params["attention"], m)
     else:
         pooled = stats_pooling(h, m)
     e0 = params["embed"][0]
-    return (pooled.astype(compute_dtype) @ e0["w"].astype(compute_dtype)
-            + e0["b"]).astype(jnp.float32)
+    return _affine(pooled, e0["w"], e0["b"],
+                   compute_dtype).astype(jnp.float32)

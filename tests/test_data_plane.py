@@ -140,15 +140,12 @@ def test_materialize_and_prefetch(tmp_path):
     with AR.ArchiveReader(path) as r:
         loader = AR.PrefetchLoader(r, queue_size=2)
         seen = 0
-        for x, y, mask in loader:
-            assert x.dtype == np.float32
-            assert mask.shape == x.shape[:2]
-            # mask covers exactly the true length
-            true_len = int(mask[0].sum())
-            assert (mask[:, :true_len] == 1).all()
-            assert (mask[:, true_len:] == 0).all()
+        for x, y, true_len in loader:
+            assert x.dtype == np.float16   # upload bytes as stored on disk
+            assert 0 < true_len <= x.shape[1]
             # feature rows beyond true length are zero padding
-            assert np.abs(x[:, true_len:]).max() == 0.0
+            if true_len < x.shape[1]:
+                assert np.abs(x[:, true_len:].astype(np.float32)).max() == 0
             seen += 1
         assert seen == len(plan.minibatches)
 

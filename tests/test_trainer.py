@@ -21,16 +21,16 @@ FEAT = 23
 
 def _synthetic_batches(num_batches=6, mb=8, t=64, seed=0):
     """Linearly separable toy data: each speaker has a distinct mean
-    offset, so a few steps of Adam must cut the loss."""
+    offset, so a few steps of Adam must cut the loss.  Yields the loader
+    contract: (feats fp16, labels, true_len)."""
     rng = np.random.RandomState(seed)
     means = rng.randn(NUM_SPK, FEAT) * 2.0
     out = []
     for _ in range(num_batches):
         labels = rng.randint(0, NUM_SPK, size=mb).astype(np.int32)
-        x = rng.randn(mb, t, FEAT).astype(np.float32) * 0.3 \
-            + means[labels][:, None, :]
-        mask = np.ones((mb, t), dtype=np.float32)
-        out.append((x, labels, mask))
+        x = (rng.randn(mb, t, FEAT).astype(np.float32) * 0.3
+             + means[labels][:, None, :]).astype(np.float16)
+        out.append((x, labels, t))
     return out
 
 

@@ -1,0 +1,90 @@
+"""Tests for score conversion, report generation, h5 export, aux blocks."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xvector_tpu.models import tdnn
+from xvector_tpu.models.blocks import flip_gradient, selu, zrelu
+from xvector_tpu.utils.export import export_h5, import_h5
+from xvector_tpu.utils.scores import (generate_report,
+                                      kaldi_scores_to_nist_tsv)
+
+
+def test_score_conversion_basic():
+    lines = ["spk1 seg1 1.5", "spk1 seg2 -0.25", "spk2 seg1 3.0"]
+    out = kaldi_scores_to_nist_tsv(lines)
+    assert out[0] == "modelid\tsegmentid\tside\tLLR"
+    assert out[1].split("\t") == ["spk1", "seg1", "a", "1.500000"]
+    assert len(out) == 4
+
+
+def test_score_conversion_candidate_merge():
+    lines = ["s1 seg-1 1.0", "s1 seg-2 5.0", "s1 seg-3 2.0",
+             "s1 other 0.5"]
+    out = kaldi_scores_to_nist_tsv(lines, merge_candidates=True)
+    rows = {l.split("\t")[1]: float(l.split("\t")[3]) for l in out[1:]}
+    assert rows == {"seg": 5.0, "other": 0.5}   # max-pooled
+
+
+def test_generate_report(tmp_path):
+    p = tmp_path / "metrics.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"iteration": 0, "kind": "train", "loss": 2.0,
+                            "accuracy": 0.1, "lr": 1e-3,
+                            "seconds": 3.5}) + "\n")
+        f.write(json.dumps({"iteration": 0, "kind": "valid", "loss": 2.5,
+                            "accuracy": 0.05}) + "\n")
+        f.write(json.dumps({"iteration": 1, "kind": "train", "loss": 1.0,
+                            "accuracy": 0.5, "lr": 9e-4,
+                            "seconds": 3.4}) + "\n")
+    report = generate_report(str(p))
+    lines = report.strip().split("\n")
+    assert lines[0].startswith("iter\tlr")
+    row0 = lines[1].split("\t")
+    assert row0[0] == "0"
+    assert float(row0[3]) == 2.0        # train loss
+    assert float(row0[4]) == 2.5        # valid loss
+    assert float(row0[5]) == -0.5       # train - valid
+    assert lines[2].split("\t")[4] == "-"   # no valid at iter 1
+
+
+def test_h5_export_roundtrip(tmp_path):
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), cfg, 5)
+    p = str(tmp_path / "w.h5")
+    export_h5(p, params, state)
+    params2, state2 = import_h5(p, params, state)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_selu_values():
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    y = np.asarray(selu(x))
+    assert y[1] == 0.0
+    np.testing.assert_allclose(y[2], 1.0507009873554805 * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        y[0], 1.0507009873554805 * 1.6732632423543772 * (np.exp(-1) - 1),
+        rtol=1e-6)
+
+
+def test_zrelu():
+    x = jnp.asarray([-2.0, 3.0])
+    y = np.asarray(zrelu(x, jnp.float32(1.0), jnp.float32(0.1)))
+    np.testing.assert_allclose(y, [-0.2, 3.0], rtol=1e-6)
+
+
+def test_flip_gradient():
+    f = lambda x: jnp.sum(flip_gradient(x, 2.0) * 3.0)
+    g = jax.grad(f)(jnp.ones(4))
+    np.testing.assert_allclose(np.asarray(g), -6.0 * np.ones(4), rtol=1e-6)
+    # forward is identity
+    np.testing.assert_allclose(
+        np.asarray(flip_gradient(jnp.asarray([1.0, -2.0]), 2.0)),
+        [1.0, -2.0])

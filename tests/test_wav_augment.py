@@ -1,0 +1,155 @@
+"""WAV/SPHERE decoding and augmentation-kernel tests."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from xvector_tpu.io import wav as W
+from xvector_tpu.ops import augment as AUG
+
+
+# ---------------------------------------------------------------------------
+# WAV / SPHERE
+# ---------------------------------------------------------------------------
+
+def _make_wav(samples: np.ndarray, rate=8000, n_ch=1) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch,
+                      2 * n_ch, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_read_wav_mono():
+    x = (np.random.RandomState(0).randn(1000) * 1000).astype(np.int16)
+    samples, rate = W.read_wav(io.BytesIO(_make_wav(x)))
+    assert rate == 8000
+    np.testing.assert_array_equal(samples, x.astype(np.float32))
+
+
+def test_read_wav_stereo_channel_select():
+    left = np.arange(100, dtype=np.int16)
+    right = -np.arange(100, dtype=np.int16)
+    inter = np.empty(200, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    buf = _make_wav(inter, n_ch=2)
+    s0, _ = W.read_wav(io.BytesIO(buf), channel=0)
+    s1, _ = W.read_wav(io.BytesIO(buf), channel=1)
+    np.testing.assert_array_equal(s0, left.astype(np.float32))
+    np.testing.assert_array_equal(s1, right.astype(np.float32))
+
+
+def _make_sphere(samples: np.ndarray, rate=8000, n_ch=1) -> bytes:
+    hdr_lines = [
+        "NIST_1A", "   1024",
+        f"channel_count -i {n_ch}",
+        f"sample_rate -i {rate}",
+        "sample_n_bytes -i 2",
+        "sample_byte_format -s2 01",
+        "sample_coding -s3 pcm",
+        "end_head",
+    ]
+    header = "\n".join(hdr_lines).encode() + b"\n"
+    header += b" " * (1024 - len(header) - 1) + b"\n"
+    return header + samples.astype("<i2").tobytes()
+
+
+def test_read_sphere_pcm(tmp_path):
+    x = (np.random.RandomState(1).randn(500) * 2000).astype(np.int16)
+    p = tmp_path / "a.sph"
+    p.write_bytes(_make_sphere(x))
+    samples, rate = W.read_sphere(str(p))
+    assert rate == 8000
+    np.testing.assert_array_equal(samples, x.astype(np.float32))
+
+
+def test_read_sphere_two_channel(tmp_path):
+    a = np.arange(64, dtype=np.int16)
+    b = 1000 + np.arange(64, dtype=np.int16)
+    inter = np.empty(128, dtype=np.int16)
+    inter[0::2], inter[1::2] = a, b
+    p = tmp_path / "st.sph"
+    p.write_bytes(_make_sphere(inter, n_ch=2))
+    s0, _ = W.read_sphere(str(p), channel=0)
+    s1, _ = W.read_sphere(str(p), channel=1)
+    np.testing.assert_array_equal(s0, a.astype(np.float32))
+    np.testing.assert_array_equal(s1, b.astype(np.float32))
+
+
+def test_load_wave_pipe(tmp_path):
+    x = (np.random.RandomState(2).randn(256) * 500).astype(np.int16)
+    p = tmp_path / "x.wav"
+    p.write_bytes(_make_wav(x))
+    samples, rate = W.load_wave(f"cat {p} |")
+    np.testing.assert_array_equal(samples, x.astype(np.float32))
+
+
+def test_mulaw_roundtrip_monotone():
+    # decode of all 256 codes must be monotone per sign branch and span
+    # the expected magnitude range
+    dec = W._mulaw_decode(np.arange(256, dtype=np.uint8))
+    assert dec.min() < -30000 and dec.max() > 30000
+
+
+# ---------------------------------------------------------------------------
+# Augmentation
+# ---------------------------------------------------------------------------
+
+def test_fir_conv_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1000).astype(np.float32)
+    h = rng.randn(64).astype(np.float32)
+    got = np.asarray(AUG.fir_conv(x, h, block=128))
+    want = np.convolve(x, h)[: len(x)]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_fir_conv_ragged_length():
+    rng = np.random.RandomState(1)
+    x = rng.randn(777).astype(np.float32)       # not a block multiple
+    h = rng.randn(33).astype(np.float32)
+    got = np.asarray(AUG.fir_conv(x, h, block=256))
+    want = np.convolve(x, h)[:777]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_reverberate_preserves_power():
+    rng = np.random.RandomState(2)
+    x = rng.randn(4000).astype(np.float32) * 1000
+    rir = np.exp(-np.arange(200) / 30.0).astype(np.float32) \
+        * rng.randn(200).astype(np.float32)
+    y = np.asarray(AUG.reverberate(x, rir))
+    assert y.shape == x.shape
+    p_in, p_out = np.mean(x ** 2), np.mean(y ** 2)
+    assert abs(p_out / p_in - 1.0) < 1e-3
+
+
+def test_mix_noise_hits_target_snr():
+    rng = np.random.RandomState(3)
+    x = rng.randn(8000).astype(np.float32) * 1000
+    noise = rng.randn(3000).astype(np.float32) * 10
+    for snr in (0.0, 10.0, 20.0):
+        y = np.asarray(AUG.mix_noise(x, noise, snr))
+        added = y - x
+        got_snr = 10 * np.log10(np.mean(x ** 2) / np.mean(added ** 2))
+        assert abs(got_snr - snr) < 0.2
+
+
+def test_augment_utterance_kinds():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2000).astype(np.float32) * 500
+    cfg = AUG.AugmentConfig()
+    rirs = [np.exp(-np.arange(50) / 10).astype(np.float32)]
+    noises = [rng.randn(500).astype(np.float32)]
+    musics = [rng.randn(800).astype(np.float32)]
+    speeches = [rng.randn(600).astype(np.float32) for _ in range(8)]
+    for kind in ("reverb", "noise", "music", "babble"):
+        y = AUG.augment_utterance(kind, x, rng, cfg, rirs=rirs,
+                                  noises=noises, musics=musics,
+                                  speeches=speeches)
+        assert y.shape == x.shape
+        assert np.isfinite(y).all()
+        assert not np.allclose(y, x)

@@ -144,9 +144,12 @@ def materialize_archive(plan: ArchivePlan, path: str,
 class PrefetchLoader:
     """Background-thread minibatch prefetcher with wait-time accounting.
 
-    Yields (feats f32 (B, Tpad, F), labels (B,), mask (B, Tpad) f32).
-    ``disk_wait``/``consumer`` timings let the trainer report the same
-    load-balance signal as the reference (models.py:276-282).
+    Yields (feats **float16** (B, Tpad, F), labels (B,), true_len int) —
+    the bytes exactly as stored, so the host→device upload is half the f32
+    size and the frame mask is materialised on device from ``true_len``
+    (host→device bandwidth, not compute, is the binding constraint on
+    tunnel-attached chips).  ``disk_wait`` keeps the reference's
+    load-balance signal (models.py:276-282).
     """
 
     def __init__(self, reader: ArchiveReader, queue_size: int = 16):
@@ -160,16 +163,13 @@ class PrefetchLoader:
     def _produce(self):
         try:
             for feats, labels, true_len in self._reader:
-                t_pad = feats.shape[1]
-                mask = np.zeros((feats.shape[0], t_pad), dtype=np.float32)
-                mask[:, :true_len] = 1.0
-                self._q.put((feats.astype(np.float32), labels, mask))
+                self._q.put((feats, labels, true_len))
         except Exception as e:  # surface loader errors to the consumer
             self._err.append(e)
         finally:
             self._q.put(None)
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         import time
         while True:
             t0 = time.monotonic()

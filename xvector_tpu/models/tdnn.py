@@ -232,20 +232,47 @@ def _masked_moments(x, mask, axes):
     return mean, var
 
 
-def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig):
+def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig,
+                stats_out: bool = False):
     """tf_block.batch_norm_wrapper semantics: train → batch moments +
-    EMA update of population stats; eval → population stats."""
+    EMA update of population stats; eval → population stats.
+
+    ``stats_out=True`` (train only) returns the RAW batch moments instead
+    of EMA'd state — callers that scan many steps fold the EMA in closed
+    form afterwards (see ``fold_bn_state``), keeping the population stats
+    out of the scan carry.  Train-mode normalisation never reads them, so
+    the forward/backward math is identical either way.
+    """
     axes = tuple(range(x.ndim - 1))
     if train:
         mean, var = _masked_moments(x.astype(jnp.float32), mask, axes)
-        new_s = {"mean": bn_s["mean"] * cfg.bn_decay + mean * (1 - cfg.bn_decay),
-                 "var": bn_s["var"] * cfg.bn_decay + var * (1 - cfg.bn_decay)}
+        if stats_out:
+            new_s = {"mean": mean, "var": var}
+        else:
+            new_s = {
+                "mean": bn_s["mean"] * cfg.bn_decay + mean * (1 - cfg.bn_decay),
+                "var": bn_s["var"] * cfg.bn_decay + var * (1 - cfg.bn_decay)}
     else:
         mean, var = bn_s["mean"], bn_s["var"]
         new_s = bn_s
     inv = jax.lax.rsqrt(var + cfg.bn_eps)
     out = (x - mean) * inv * bn_p["gamma"] + bn_p["beta"]
     return out.astype(x.dtype), new_s
+
+
+def fold_bn_state(state0: State, stacked: State, decay: float) -> State:
+    """Fold N stacked per-step batch moments into the EMA population stats:
+    s_N = decay^N s_0 + (1-decay) Σ_i decay^(N-1-i) b_i — exactly the
+    result of applying the EMA update sequentially."""
+    leaves = jax.tree.leaves(stacked)
+    n = leaves[0].shape[0]
+    i = jnp.arange(n, dtype=jnp.float32)
+    w = (1.0 - decay) * decay ** (n - 1 - i)
+
+    def fold(s0, bs):
+        return decay ** n * s0 + jnp.tensordot(w, bs, axes=1)
+
+    return jax.tree.map(fold, state0, stacked)
 
 
 def _conv1d_same(x, w, dilation: int):
@@ -301,7 +328,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
           *, mask=None, row_weight=None, train: bool = False,
           dropout_keep: float | jnp.ndarray = 1.0,
           rng: Optional[jax.Array] = None,
-          compute_dtype=jnp.float32) -> Dict[str, Any]:
+          compute_dtype=jnp.float32,
+          bn_stats_out: bool = False) -> Dict[str, Any]:
     """Forward pass.
 
     Args:
@@ -349,7 +377,7 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
                          cfg.dilations[i]) + layer["b"]
         h = _activate(cfg, layer, h)
         h, bn_s = _batch_norm(h, layer["bn"], state["frame"][i], m,
-                              train, cfg)
+                              train, cfg, stats_out=bn_stats_out)
         if m is not None:
             h = h * m.astype(h.dtype)  # keep pad positions zero for next conv
         new_state["frame"].append(bn_s)
@@ -374,7 +402,7 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
                                      + jnp.sum(jnp.square(layer["b"])))
         h = _activate(cfg, layer, pre)
         h, bn_s = _batch_norm(h, layer["bn"], state["embed"][i], rw,
-                              train, cfg)
+                              train, cfg, stats_out=bn_stats_out)
         new_state["embed"].append(bn_s)
         if i != len(cfg.embed_dims) - 1:
             h = dropout(h)

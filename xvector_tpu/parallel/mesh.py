@@ -63,6 +63,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def block_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(num_minibatches, batch, ...) stacks: shard the batch axis (axis 1)
+    over ``data``; the scan axis stays unsharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """Sharding pytree for model params: classifier head column-sharded over
     ``model``, all other tensors replicated.

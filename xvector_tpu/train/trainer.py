@@ -5,20 +5,20 @@ a TF1 session loop (``train_dnn.py:463-593`` outer scheduler,
 ``models.py:216-305`` minibatch loop) — with:
 
 * ONE jitted train step (forward + CE(+L2) loss + Adam update + BN-state
-  EMA) compiled per padded minibatch shape, sharded over a ``(data, model)``
-  mesh; gradient reduction is XLA's psum, superseding the reference's
-  checkpoint averaging;
-* an outer loop that keeps the reference's *iteration* semantics: one
-  archive per iteration, exponential effective-LR schedule
-  (``ze_utils.py:111-120``), piecewise-linear dropout schedule, optional
-  proportional shrink, per-iteration checkpoints with ``done`` sentinels,
-  GC (keep last 2 + every ``preserve_model_interval``-th,
-  ``ze_utils.py:186-194``), ``model_final`` marker, resume by skipping
-  completed iterations (``train_dnn.py:344-346``);
-* background-free diagnostics: held-out valid / train-subset evaluation runs
-  on-device between iterations (the reference shells out to CPU eval jobs,
-  ``train_dnn.py:429-460``) and metrics go to ``metrics.jsonl`` instead of
-  regex-mined logs (``ze_utils.py:491-558``).
+  EMA) sharded over a ``(data, model)`` mesh; gradient reduction is XLA's
+  psum, superseding the reference's checkpoint averaging;
+* a **block** variant that lax.scans the step over a stack of minibatches
+  so one host dispatch drives many updates (host dispatch costs ~30 ms on
+  tunnel-attached chips vs ~7 ms of step compute);
+* an input path engineered for host→device bandwidth: minibatches travel
+  as the archives' own float16 bytes plus two scalars (true frame length,
+  valid row count); frame masks and row weights are materialised on device;
+* an outer loop keeping the reference's *iteration* semantics: one archive
+  per iteration, exponential effective-LR schedule (``ze_utils.py:111-120``),
+  piecewise-linear dropout schedule, optional proportional shrink,
+  per-iteration checkpoints with ``done`` sentinels, GC, ``model_final``,
+  resume-by-skip (``train_dnn.py:344-346``), structured jsonl metrics in
+  place of regex-mined logs (``ze_utils.py:491-558``).
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ import functools
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -38,9 +38,11 @@ import optax
 from ..models import tdnn
 from ..models.heads import accuracy, am_softmax, softmax_ce
 from ..parallel import mesh as meshlib
+from ..utils.compile_cache import enable_compilation_cache
 from . import checkpoints, schedules
 
-__all__ = ["TrainConfig", "Trainer", "make_train_step", "make_eval_step"]
+__all__ = ["TrainConfig", "Trainer", "make_train_step",
+           "make_block_train_step", "make_eval_step"]
 
 
 @dataclass(frozen=True)
@@ -60,14 +62,29 @@ class TrainConfig:
     preserve_model_interval: int = 10      # run_xvector.sh:106
     compute_dtype: str = "bfloat16"
     max_param_change: float = 0.0          # 0 = off (dead knob in reference)
+    block_size: int = 16                   # minibatches per device dispatch
+
+
+def _device_mask(batch_shape, t_len, n_rows):
+    """Build (B, T) frame mask and (B,) row weight on device from two
+    scalars — avoids uploading masks over the narrow host link."""
+    b, t = batch_shape[:2]
+    frame_ids = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    mask = (frame_ids < t_len).astype(jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+    weight = (row_ids < n_rows).astype(jnp.float32)
+    return mask, weight
 
 
 def _loss_fn(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig, params, state,
-             batch, labels, mask, weight, dropout_keep, rng):
+             batch, labels, t_len, n_rows, dropout_keep, rng,
+             bn_stats_out: bool = False):
+    mask, weight = _device_mask(batch.shape, t_len, n_rows)
     out = tdnn.apply(model_cfg, params, state, batch, mask=mask,
                      row_weight=weight, train=True,
                      dropout_keep=dropout_keep, rng=rng,
-                     compute_dtype=jnp.dtype(cfg.compute_dtype))
+                     compute_dtype=jnp.dtype(cfg.compute_dtype),
+                     bn_stats_out=bn_stats_out)
     if cfg.head == "am_softmax":
         ce, logits = am_softmax(out["hidden"], params["output"]["w"],
                                 labels, cfg.am_scale, cfg.am_margin,
@@ -79,37 +96,81 @@ def _loss_fn(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig, params, state,
     return loss, (out["state"], ce, accuracy(logits, labels, weight))
 
 
+def _grad_and_update(model_cfg, cfg, optimizer, params, opt_state, state,
+                     batch, labels, t_len, n_rows, lr, dropout_keep,
+                     shrink, rng, bn_stats_out: bool = False):
+    grad_fn = jax.value_and_grad(_loss_fn, argnums=2, has_aux=True)
+    (loss, (state, ce, acc)), grads = grad_fn(
+        model_cfg, cfg, params, state, batch, labels, t_len, n_rows,
+        dropout_keep, rng, bn_stats_out)
+    if cfg.max_param_change > 0.0:
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.max_param_change / (gnorm * lr + 1e-20))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    if cfg.apply_shrink:
+        params = jax.tree.map(lambda p: p * shrink, params)
+    return params, opt_state, state, loss, acc
+
+
 def make_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
                     optimizer: optax.GradientTransformation):
-    """Build the jitted train step.  Scalars (lr, dropout_keep, shrink) are
-    traced operands so schedule changes never retrigger compilation."""
+    """Single-minibatch jitted step.  Scalars (lr, dropout_keep, shrink,
+    t_len, n_rows) are traced operands: schedule changes and length-bucket
+    content never retrigger compilation."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, opt_state, state, batch, labels, mask, weight, lr,
+    def step(params, opt_state, state, batch, labels, t_len, n_rows, lr,
              dropout_keep, shrink, rng):
-        grad_fn = jax.value_and_grad(_loss_fn, argnums=2, has_aux=True)
-        (loss, (new_state, ce, acc)), grads = grad_fn(
-            model_cfg, cfg, params, state, batch, labels, mask, weight,
-            dropout_keep, rng)
-        if cfg.max_param_change > 0.0:
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, cfg.max_param_change
-                                / (gnorm * lr + 1e-20))
-            grads = jax.tree.map(lambda g: g * scale, grads)
         opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if cfg.apply_shrink:
-            params = jax.tree.map(lambda p: p * shrink, params)
-        return params, opt_state, new_state, {
-            "loss": loss, "ce": ce, "accuracy": acc}
+        params, opt_state, state, loss, acc = _grad_and_update(
+            model_cfg, cfg, optimizer, params, opt_state, state, batch,
+            labels, t_len, n_rows, lr, dropout_keep, shrink, rng)
+        return params, opt_state, state, {"loss": loss, "accuracy": acc}
 
     return step
 
 
+def make_block_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
+                          optimizer: optax.GradientTransformation):
+    """Train step over a BLOCK of stacked minibatches via lax.scan: one
+    host dispatch → block_size sequential updates on device."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def block(params, opt_state, state, xs, ys, t_lens, n_rows_arr, lr,
+              dropout_keep, shrink, rng):
+        opt_state.hyperparams["learning_rate"] = lr
+        keys = jax.random.split(rng, xs.shape[0])
+
+        # BN population stats stay OUT of the scan carry (carrying them
+        # alongside scanned activations triggers a pathological XLA
+        # schedule, ~50× slower): each step emits its raw batch moments,
+        # folded into the EMA in closed form after the scan.
+        def body(carry, inp):
+            params, opt_state = carry
+            x, y, t_len, n_rows, key = inp
+            params, opt_state, moments, loss, acc = _grad_and_update(
+                model_cfg, cfg, optimizer, params, opt_state, state, x, y,
+                t_len, n_rows, lr, dropout_keep, shrink, key,
+                bn_stats_out=True)
+            return (params, opt_state), (moments, jnp.stack([loss, acc]))
+
+        (params, opt_state), (stacked, stats) = jax.lax.scan(
+            body, (params, opt_state), (xs, ys, t_lens, n_rows_arr, keys))
+        new_state = tdnn.fold_bn_state(state, stacked,
+                                       model_cfg.bn_decay)
+        return params, opt_state, new_state, {
+            "loss": jnp.mean(stats[:, 0]),
+            "accuracy": jnp.mean(stats[:, 1])}
+
+    return block
+
+
 def make_eval_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig):
     @jax.jit
-    def step(params, state, batch, labels, mask, weight):
+    def step(params, state, batch, labels, t_len, n_rows):
+        mask, weight = _device_mask(batch.shape, t_len, n_rows)
         out = tdnn.apply(model_cfg, params, state, batch, mask=mask,
                          train=False,
                          compute_dtype=jnp.dtype(cfg.compute_dtype))
@@ -125,6 +186,7 @@ class Trainer:
                  mesh=None, feat_dim: int = 23):
         if cfg.num_targets <= 0:
             raise ValueError("num_targets must be set")
+        enable_compilation_cache()
         self.cfg = cfg
         self.model_cfg = tdnn.MODEL_ZOO[cfg.model]
         if self.model_cfg.feat_dim != feat_dim:
@@ -139,6 +201,8 @@ class Trainer:
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.initial_effective_lrate)
         self._step_fn = make_train_step(self.model_cfg, cfg, self.optimizer)
+        self._block_fn = make_block_train_step(self.model_cfg, cfg,
+                                               self.optimizer)
         self._eval_fn = make_eval_step(self.model_cfg, cfg)
         self._metrics_path = os.path.join(work_dir, "metrics.jsonl")
         self._dropout_points = schedules.parse_dropout_schedule(
@@ -160,24 +224,17 @@ class Trainer:
             self.opt_state,
             meshlib.param_shardings(self.mesh, self.opt_state))
 
-    def _device_batch(self, feats, labels, mask):
-        """Place a host batch on the mesh, padding the batch dim up to a
-        multiple of the data axis with zero-weight rows."""
+    def _pad_rows(self, feats, labels) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Pad the batch dim to a multiple of the data axis (host side,
+        fp16 — cheap); the pad rows carry weight 0 on device."""
         n = feats.shape[0]
         data_axis = self.mesh.shape["data"]
         pad = (-n) % data_axis
-        weight = np.ones(n, dtype=np.float32)
         if pad:
             feats = np.concatenate(
                 [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
-            labels = np.concatenate(
-                [labels, np.zeros(pad, labels.dtype)])
-            mask = np.concatenate(
-                [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
-            weight = np.concatenate([weight, np.zeros(pad, np.float32)])
-        bs = meshlib.batch_sharding(self.mesh)
-        return (jax.device_put(feats, bs), jax.device_put(labels, bs),
-                jax.device_put(mask, bs), jax.device_put(weight, bs))
+            labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
+        return feats, labels, n
 
     # -- metrics -----------------------------------------------------------
     def _log(self, record: Dict[str, Any]):
@@ -189,40 +246,77 @@ class Trainer:
     def train_one_iteration(self, it: int, batches: Iterable, lr: float,
                             dropout: float, shrink: float) -> Dict[str, float]:
         """One iteration = one pass over one archive's minibatches
-        (train_dnn_one_iteration semantics, minus the process boundary)."""
-        rng = jax.random.PRNGKey(self.cfg.random_seed + 1000 * it)
-        tot_loss = tot_acc = n = 0.0
-        device_wait = 0.0
-        for i, (feats, labels, mask) in enumerate(batches):
-            feats, labels, mask, weight = self._device_batch(
-                feats, labels, mask)
+        (train_dnn_one_iteration semantics, minus the process boundary).
+
+        ``batches`` yields (feats fp16 (B, Tpad, F), labels (B,), true_len).
+        Minibatches of equal padded shape are stacked ``block_size`` at a
+        time and run as one device dispatch; ragged leftovers use the
+        per-minibatch step.
+        """
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.random_seed + 1000 * it)
+        lr_ = jnp.float32(lr)
+        keep_ = jnp.float32(1.0 - dropout)
+        shrink_ = jnp.float32(shrink)
+        stats_pending: List[Tuple[Any, int]] = []
+        buckets: Dict[Tuple[int, ...], List] = {}
+        bs = meshlib.batch_sharding(self.mesh)
+        bbs = meshlib.block_batch_sharding(self.mesh)
+        rep = meshlib.replicated(self.mesh)
+
+        def flush_block(items):
+            nonlocal rng
+            xs = np.stack([i[0] for i in items])
+            ys = np.stack([i[1] for i in items])
+            tl = np.asarray([i[2] for i in items], np.int32)
+            nr = np.asarray([i[3] for i in items], np.int32)
             rng, sub = jax.random.split(rng)
-            t0 = time.monotonic()
-            self.params, self.opt_state, self.state, m = self._step_fn(
-                self.params, self.opt_state, self.state, feats, labels,
-                mask, weight, jnp.float32(lr), jnp.float32(1.0 - dropout),
-                jnp.float32(shrink), sub)
-            if i % 32 == 0:     # periodic sync for wait accounting
-                m = jax.tree.map(float, m)
-                device_wait += time.monotonic() - t0
-                tot_loss += m["loss"]
-                tot_acc += m["accuracy"]
-                n += 1
+            self.params, self.opt_state, self.state, m = self._block_fn(
+                self.params, self.opt_state, self.state,
+                jax.device_put(xs, bbs), jax.device_put(ys, bbs),
+                jax.device_put(tl, rep), jax.device_put(nr, rep),
+                lr_, keep_, shrink_, sub)
+            stats_pending.append((m, len(items)))
+
+        for feats, labels, true_len in batches:
+            feats, labels, n_rows = self._pad_rows(feats, labels)
+            key = feats.shape
+            buckets.setdefault(key, []).append(
+                (feats, labels, true_len, n_rows))
+            if len(buckets[key]) >= cfg.block_size:
+                flush_block(buckets.pop(key))
+        for key in sorted(buckets):            # ragged leftovers
+            for feats, labels, true_len, n_rows in buckets[key]:
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, self.state, m = self._step_fn(
+                    self.params, self.opt_state, self.state,
+                    jax.device_put(feats, bs), jax.device_put(labels, bs),
+                    jnp.int32(true_len), jnp.int32(n_rows),
+                    lr_, keep_, shrink_, sub)
+                stats_pending.append((m, 1))
+
         jax.block_until_ready(self.params)
-        return {"loss": tot_loss / max(n, 1), "accuracy": tot_acc / max(n, 1),
-                "device_wait": device_wait}
+        tot_loss = tot_acc = n = 0.0
+        for m, k in stats_pending:     # fetch after the device queue drains
+            tot_loss += float(m["loss"]) * k
+            tot_acc += float(m["accuracy"]) * k
+            n += k
+        return {"loss": tot_loss / max(n, 1),
+                "accuracy": tot_acc / max(n, 1),
+                "minibatches": n}
 
     def evaluate(self, batches: Iterable) -> Dict[str, float]:
+        bs = meshlib.batch_sharding(self.mesh)
         tot_loss = tot_acc = tot_w = 0.0
-        for feats, labels, mask in batches:
-            w = feats.shape[0]
-            feats, labels, mask, weight = self._device_batch(
-                feats, labels, mask)
-            loss, acc = self._eval_fn(self.params, self.state, feats,
-                                      labels, mask, weight)
-            tot_loss += float(loss) * w
-            tot_acc += float(acc) * w
-            tot_w += w
+        for feats, labels, true_len in batches:
+            feats, labels, n_rows = self._pad_rows(feats, labels)
+            loss, acc = self._eval_fn(
+                self.params, self.state, jax.device_put(feats, bs),
+                jax.device_put(labels, bs), jnp.int32(true_len),
+                jnp.int32(n_rows))
+            tot_loss += float(loss) * n_rows
+            tot_acc += float(acc) * n_rows
+            tot_w += n_rows
         return {"loss": tot_loss / max(tot_w, 1),
                 "accuracy": tot_acc / max(tot_w, 1)}
 

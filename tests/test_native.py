@@ -1,0 +1,91 @@
+"""Native libxta tests: parity with the Python kaldi_ark reader and the
+Python materializer, including compressed matrices and fp16 rounding."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from xvector_tpu.io import kaldi_ark as kio
+from xvector_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="libxta build unavailable")
+
+
+def _write_ark(tmp_path, mats):
+    ark, scp = str(tmp_path / "m.ark"), str(tmp_path / "m.scp")
+    with kio.ArkWriter(ark, scp) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    offsets = {}
+    for line in open(scp):
+        key, loc = line.split()
+        path, off = loc.rsplit(":", 1)
+        offsets[key] = (path, int(off))
+    return offsets
+
+
+def test_native_read_mat_parity(tmp_path):
+    rng = np.random.RandomState(0)
+    mats = {f"u{i}": rng.randn(10 + i, 23).astype(np.float32)
+            for i in range(4)}
+    offsets = _write_ark(tmp_path, mats)
+    for k, (path, off) in offsets.items():
+        got = native.read_mat(path, off)
+        np.testing.assert_array_equal(got, mats[k])
+
+
+def test_native_read_float64(tmp_path):
+    m = np.random.RandomState(1).randn(6, 4)
+    p = str(tmp_path / "d.ark")
+    kio.write_mat(p, m, key="u")
+    # offset of \0B == len("u ")
+    got = native.read_mat(p, 2)
+    np.testing.assert_allclose(got, m.astype(np.float32), rtol=1e-6)
+
+
+def test_native_compressed_decode_parity(tmp_path):
+    from tests.test_kaldi_io import _encode_cm1
+    rng = np.random.RandomState(2)
+    mat = (rng.randn(40, 6) * 2).astype(np.float32)
+    payload = _encode_cm1(mat)
+    p = str(tmp_path / "c.ark")
+    with open(p, "wb") as f:
+        f.write(b"u \x00B" + payload)
+    got = native.read_mat(p, 2)
+    want = kio._read_compressed_mat(io.BytesIO(payload[3:]), b"CM ")
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_native_materialize_matches_python(tmp_path):
+    rng = np.random.RandomState(3)
+    mats = {f"u{i}": rng.randn(100, 8).astype(np.float32)
+            for i in range(3)}
+    offsets = _write_ark(tmp_path, mats)
+    sources = []
+    want = np.zeros((5, 32, 8), np.float16)
+    for i in range(5):
+        key = f"u{i % 3}"
+        begin, length = 10 * i, 20 + i
+        path, off = offsets[key]
+        sources.append((path, off, begin, length))
+        want[i, :length] = mats[key][begin: begin + length]
+    got = native.materialize_chunks(sources, pad_len=32, feat_dim=8)
+    assert got.dtype == np.float16
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=1e-3)
+    # fp16 conversion is round-to-nearest: max error bounded by half ulp
+    assert np.abs(got.astype(np.float32)
+                  - want.astype(np.float32)).max() <= 1e-3
+
+
+def test_native_materialize_bad_range(tmp_path):
+    mats = {"u0": np.random.RandomState(4).randn(10, 4)
+            .astype(np.float32)}
+    offsets = _write_ark(tmp_path, mats)
+    path, off = offsets["u0"]
+    with pytest.raises(IOError):
+        native.materialize_chunks([(path, off, 5, 20)], pad_len=32,
+                                  feat_dim=4)

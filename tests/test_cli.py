@@ -1,0 +1,87 @@
+"""CLI entry-point tests: train_dnn + extract_embedding end-to-end over a
+tiny egs dir, reference flag spellings, idempotent restart."""
+
+import os
+
+import numpy as np
+import pytest
+
+from xvector_tpu.cli import extract_embedding, train_dnn
+from xvector_tpu.data import archives as AR
+from xvector_tpu.io import kaldi_ark as kio
+
+
+NUM_SPK = 4
+
+
+def _make_egs(tmp_path, n_archives=2):
+    rng = np.random.RandomState(0)
+    means = rng.randn(NUM_SPK, 23) * 2
+    for a in range(n_archives):
+        mbs = []
+        for _ in range(3):
+            y = rng.randint(0, NUM_SPK, 8).astype(np.int32)
+            x = (rng.randn(8, 64, 23) * 0.3
+                 + means[y][:, None, :]).astype(np.float16)
+            mbs.append((x, y, 64))
+        AR.write_archive(str(tmp_path / f"egs.{a}.xta"), mbs)
+    # diagnostic archive
+    y = rng.randint(0, NUM_SPK, 8).astype(np.int32)
+    x = (rng.randn(8, 64, 23) * 0.3 + means[y][:, None, :]) \
+        .astype(np.float16)
+    AR.write_archive(str(tmp_path / "valid_egs.xta"), [(x, y, 64)])
+
+
+def test_train_and_extract_cli(tmp_path, capsys):
+    egs = tmp_path / "egs"
+    egs.mkdir()
+    _make_egs(egs)
+    work = str(tmp_path / "exp")
+    train_dnn.main([
+        "--tf-model-class=ModelWithoutDropout",   # reference class name
+        "--model=tiny",                            # overridden by preset?
+        f"--num-targets={NUM_SPK}",
+        "--num-epochs=1", "--compute-dtype=float32",
+        "--initial-effective-lrate=0.002",
+        "--final-effective-lrate=0.0005",
+        f"--egs-dir={egs}", f"--dir={work}", "--block-size=2",
+    ])
+    assert os.path.islink(os.path.join(work, "model_final"))
+    assert os.path.exists(os.path.join(work, "accuracy.report"))
+    report = open(os.path.join(work, "accuracy.report")).read()
+    assert "valid_loss" in report.splitlines()[0]
+
+    # build a feature ark and extract through the CLI
+    rng = np.random.RandomState(1)
+    feats_ark = str(tmp_path / "feats.ark")
+    with kio.ArkWriter(feats_ark, feats_ark + ".scp") as w:
+        for i in range(5):
+            w.write(f"utt{i}", rng.randn(80 + 10 * i, 23)
+                    .astype(np.float32))
+    out_ark = str(tmp_path / "xvector.ark")
+    extract_embedding.main([
+        f"--model-dir={work}", "--model=tiny",
+        f"--num-targets={NUM_SPK}",
+        f"--feats-rspecifier=ark:{feats_ark}",
+        f"--output-ark={out_ark}", "--batch-size=4",
+        "--min-chunk-size=25", "--chunk-size=100",
+    ])
+    xv = dict(kio.read_vec_flt_scp(out_ark.replace(".ark", ".scp")))
+    assert len(xv) == 5
+    assert all(v.shape == (64,) for v in xv.values())   # tiny embed dim
+
+    # idempotent restart: second call must skip
+    extract_embedding.main([
+        f"--model-dir={work}", "--model=tiny",
+        f"--num-targets={NUM_SPK}",
+        "--feats-rspecifier=ark:/nonexistent.ark",     # would fail if read
+        f"--output-ark={out_ark}",
+    ])
+    out = capsys.readouterr().out
+    assert "skipping" in out
+
+
+def test_train_cli_rejects_unknown_model(tmp_path):
+    with pytest.raises(SystemExit):
+        train_dnn.main(["--model=bogus", "--num-targets=4",
+                        f"--egs-dir={tmp_path}", f"--dir={tmp_path}/x"])

@@ -1,0 +1,91 @@
+"""Extraction CLI: features rspecifier → x-vector ark+scp.
+
+Reference-shaped replacement for ``extract_embedding.py:94-150`` +
+``extract_xvectors.sh``: reads a feature rspecifier (ark/scp/pipe — the
+same ``apply-cmvn-sliding … |`` pipes work, or pass ``--apply-cmvn`` /
+``--vad-scp`` to run the native preprocessing), extracts chunk-and-averaged
+x-vectors batched on the TPU, writes Kaldi ark+scp ready for any PLDA
+back-end.  Idempotent: skips if the output scp is complete.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ..extract.extractor import ExtractorConfig, XvectorExtractor, preprocess
+from ..io import kaldi_ark as kio
+from ..models import tdnn
+from ..train import checkpoints
+from ..train.trainer import TrainConfig, Trainer
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", required=True,
+                   help="trainer work dir (uses model_final)")
+    p.add_argument("--model", default="ModelWithoutDropout")
+    p.add_argument("--num-targets", type=int, required=True)
+    p.add_argument("--feats-rspecifier", required=True)
+    p.add_argument("--vad-scp", default="",
+                   help="optional vad.scp for voiced-frame selection")
+    p.add_argument("--apply-cmvn", action="store_true",
+                   help="apply sliding CMVN (win 300) natively")
+    p.add_argument("--min-chunk-size", type=int, default=25)
+    p.add_argument("--chunk-size", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--feat-dim", type=int, default=23)
+    p.add_argument("--output-ark", required=True)
+    p.add_argument("--output-scp", default="")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    scp = args.output_scp or args.output_ark.replace(".ark", ".scp")
+    if os.path.exists(scp + ".done"):
+        print(f"{scp} already complete; skipping (idempotent restart)")
+        return
+
+    preset = tdnn.REFERENCE_CLASS_TO_PRESET.get(args.model, args.model)
+    cfg = TrainConfig(model=preset, num_targets=args.num_targets,
+                      compute_dtype="bfloat16")
+    trainer = Trainer(cfg, args.model_dir, feat_dim=args.feat_dim)
+    final = os.path.join(args.model_dir, "model_final")
+    target = final if os.path.exists(final) else None
+    if target is None:
+        it = checkpoints.restore_latest(trainer)
+        if it == 0:
+            sys.exit(f"no checkpoint under {args.model_dir}")
+    else:
+        checkpoints.restore_into(trainer, os.path.realpath(final))
+
+    vad = dict(kio.read_vec_flt_scp(args.vad_scp)) if args.vad_scp else {}
+    ex = XvectorExtractor(
+        trainer.model_cfg, trainer.params, trainer.state,
+        ExtractorConfig(min_chunk=args.min_chunk_size,
+                        max_chunk=args.chunk_size,
+                        batch_size=args.batch_size))
+
+    def stream():
+        for utt, feats in kio.read_mat_ark(args.feats_rspecifier) \
+                if not args.feats_rspecifier.startswith("scp") \
+                else kio.read_mat_scp(args.feats_rspecifier):
+            if args.apply_cmvn or utt in vad:
+                feats = preprocess(feats, vad=vad.get(utt))
+            yield utt, feats
+
+    n = 0
+    with kio.ArkWriter(args.output_ark, scp) as w:
+        for utt, xv in ex.extract_iter(stream()):
+            w.write(utt, xv)
+            n += 1
+    open(scp + ".done", "w").close()
+    print(f"wrote {n} x-vectors -> {args.output_ark}")
+
+
+if __name__ == "__main__":
+    main()

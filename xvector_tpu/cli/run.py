@@ -173,25 +173,35 @@ class Recipe:
                     plan, out_path, src, shuffle_seed=seed):
                 archlib.materialize_archive(plan, out_path, fetch,
                                             shuffle_seed=seed)
-        # validation archive: use same chunking on held-out utts
+        # diagnostic archives (get_egs.sh:44,100-106): held-out valid utts
+        # + a train-subset probe, evaluated every iteration
         s2i = train.spk2int()
-        v_utt2int = {u: s2i[s] for u, s in valid.utt2spk.items()
-                     if s in s2i}
-        if v_utt2int:
-            v_plans = alloclib.allocate_archives(
-                {u: usable[u] for u in v_utt2int}, v_utt2int,
+
+        def diag_archive(utts_dir: DataDir, name: str):
+            u2i = {u: s2i[s] for u, s in utts_dir.utt2spk.items()
+                   if s in s2i and usable.get(u, 0)
+                   >= cfg.allocator.min_frames}
+            if not u2i:
+                return
+            plans = alloclib.allocate_archives(
+                {u: usable[u] for u in u2i}, u2i,
                 alloclib.AllocatorConfig(
                     min_frames=cfg.allocator.min_frames,
                     max_frames=cfg.allocator.max_frames,
                     minibatch_size=min(cfg.allocator.minibatch_size,
-                                       len(v_utt2int)),
+                                       len(u2i)),
                     num_repeats=2, frames_per_iter=10 ** 5,
                     seed=cfg.allocator.seed),
                 num_archives=1)
-            for plan in v_plans:
-                archlib.materialize_archive(
-                    plan, self._p("valid_egs.xta"),
-                    lambda u: self._load_processed(valid, u))
+            for plan in plans:
+                path = self._p(name)
+                if not archlib.materialize_archive_native(plan, path, src):
+                    archlib.materialize_archive(
+                        plan, path, lambda u: self._load_processed(data, u))
+
+        diag_archive(valid, "valid_egs.xta")
+        diag_archive(train.subset_utts(cfg.num_valid_utts, seed=11),
+                     "train_subset_egs.xta")
         return train, valid, num_targets
 
     # -- stage 3: train (train_dnn.py) -------------------------------------
@@ -205,15 +215,15 @@ class Recipe:
             reader = archlib.ArchiveReader(self._p(f"egs.{i}.xta"))
             return archlib.PrefetchLoader(reader)
 
-        valid_path = self._p("valid_egs.xta")
-        valid_batches = None
-        if os.path.exists(valid_path):
-            def valid_batches():
-                return archlib.PrefetchLoader(
-                    archlib.ArchiveReader(valid_path))
+        def diag(name):
+            p = self._p(name)
+            if not os.path.exists(p):
+                return None
+            return lambda: archlib.PrefetchLoader(archlib.ArchiveReader(p))
 
         trainer.train(archive_batches, self.cfg.num_archives,
-                      valid_batches=valid_batches)
+                      valid_batches=diag("valid_egs.xta"),
+                      train_subset_batches=diag("train_subset_egs.xta"))
         return trainer
 
     # -- stage 4: extract (extract_xvectors.sh) ----------------------------

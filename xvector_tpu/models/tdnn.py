@@ -423,9 +423,11 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
     }
 
 
-def extract_xvector(cfg: TdnnConfig, params: Params, state: State, x,
-                    mask=None, compute_dtype=jnp.float32):
-    """Embedding-only forward (no classifier head) for extraction."""
+def frame_stack(cfg: TdnnConfig, params: Params, state: State, x,
+                mask=None, compute_dtype=jnp.float32):
+    """Eval-mode frame-level stack: (B, T, F) → (B, T, channels[-1]),
+    masked.  The XLA reference path for ops/tdnn_kernel's fused Pallas
+    version."""
     m = None if mask is None else mask.astype(jnp.float32)[..., None]
     h = x.astype(compute_dtype)
     if m is not None:
@@ -437,6 +439,14 @@ def extract_xvector(cfg: TdnnConfig, params: Params, state: State, x,
         h, _ = _batch_norm(h, layer["bn"], state["frame"][i], m, False, cfg)
         if m is not None:
             h = h * m.astype(h.dtype)
+    return h
+
+
+def extract_xvector(cfg: TdnnConfig, params: Params, state: State, x,
+                    mask=None, compute_dtype=jnp.float32):
+    """Embedding-only forward (no classifier head) for extraction."""
+    m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    h = frame_stack(cfg, params, state, x, mask, compute_dtype)
     if cfg.pooling == "attention":
         pooled = attention_pooling(h, params["attention"], m)
     else:

@@ -1,0 +1,166 @@
+"""Fused Pallas TDNN-stack kernel (eval/extraction path).
+
+Runs the entire 5-layer frame-level stack — conv1d(+dilation) → bias →
+activation → batch-norm scale/shift → mask — inside ONE kernel, tiling the
+time axis with halo so every intermediate (B, T, 512) activation lives in
+VMEM instead of round-tripping through HBM five times (the XLA path's
+dominant memory traffic at extraction batch sizes).
+
+Weights stay VMEM-resident across the time-tile grid; convs are expressed
+as ``k`` shifted VALID matmuls so all FLOPs land on the MXU with f32
+accumulation.  Batch-norm (eval mode) folds to a per-channel
+``y·scale + shift`` with ``scale = γ/√(var+ε)``, ``shift = β − mean·scale``
+computed on the host side of the call.
+
+The public entry :func:`fused_frame_stack` matches
+``models.tdnn.frame_stack`` (the XLA reference) and is used by the
+extractor when enabled; a pure-XLA fallback keeps CPU/test parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import tdnn
+
+__all__ = ["fused_frame_stack", "supports"]
+
+
+def supports(cfg: tdnn.TdnnConfig) -> bool:
+    """Fused path covers the stats-pooling topologies (all activations);
+    attention pooling's split head changes the output contract."""
+    return cfg.pooling == "stats" and cfg.activation in ("relu", "lrelu",
+                                                         "prelu")
+
+
+def _halo(cfg: tdnn.TdnnConfig) -> int:
+    return sum((k - 1) // 2 * d
+               for k, d in zip(cfg.kernel_sizes, cfg.dilations))
+
+
+def _layer_kernel(cfg, t_tile, halo, n_layers):
+    """Build the kernel body closed over static topology."""
+
+    def kernel(x_ref, m_ref, *refs):
+        # refs: per layer (w, b, scale, shift[, alpha]) then out_ref
+        per = 5 if cfg.activation == "prelu" else 4
+        out_ref = refs[n_layers * per]
+        i = pl.program_id(1)
+        start = i * t_tile
+        cur = x_ref[0, pl.ds(start, t_tile + 2 * halo), :].astype(
+            jnp.float32)
+        cur = cur * m_ref[0, pl.ds(start, t_tile + 2 * halo), :]
+        consumed = 0
+        cur_len = t_tile + 2 * halo
+        for l in range(n_layers):
+            w = refs[l * per]
+            b = refs[l * per + 1][0]
+            scale = refs[l * per + 2][0]
+            shift = refs[l * per + 3][0]
+            k, d = cfg.kernel_sizes[l], cfg.dilations[l]
+            half = (k - 1) // 2 * d
+            out_len = cur_len - 2 * half
+            acc = None
+            for j in range(k):
+                piece = cur[j * d: j * d + out_len]   # static slice
+                term = jnp.dot(piece.astype(jnp.bfloat16), w[j],
+                               preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+            y = acc + b
+            if cfg.activation == "relu":
+                y = jnp.maximum(y, 0.0)
+            elif cfg.activation == "lrelu":
+                y = jnp.where(y >= 0.0, y, cfg.lrelu_alpha * y)
+            else:  # prelu
+                alpha = refs[l * per + 4][0]
+                y = jnp.maximum(y, 0.0) + alpha * jnp.minimum(y, 0.0)
+            y = y * scale + shift
+            consumed += half
+            m = m_ref[0, pl.ds(start + consumed, out_len), :]
+            cur = y * m
+            cur_len = out_len
+        out_ref[0] = cur
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "t_tile", "interpret"))
+def _fused_call(cfg: tdnn.TdnnConfig, x, mask, flat_params,
+                t_tile: int = 256, interpret: bool = False):
+    b, t, f = x.shape
+    halo = _halo(cfg)
+    n_tiles = -(-t // t_tile)
+    t_padded = n_tiles * t_tile
+    # pad: halo zeros left, halo + tile-remainder zeros right
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (halo, halo + t_padded - t), (0, 0)))
+    mp = jnp.pad(mask.astype(jnp.float32),
+                 ((0, 0), (halo, halo + t_padded - t)))[..., None]
+    tp = t_padded + 2 * halo
+
+    n_layers = cfg.num_frame_layers
+    in_specs = [
+        pl.BlockSpec((1, tp, f), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, 1), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for arr in flat_params:
+        in_specs.append(pl.BlockSpec(
+            arr.shape, lambda bi, ti, r=arr.ndim: (0,) * r,
+            memory_space=pltpu.VMEM))
+    c_out = cfg.channels[-1]
+    out = pl.pallas_call(
+        _layer_kernel(cfg, t_tile, halo, n_layers),
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, t_tile, c_out),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_padded, c_out), jnp.float32),
+        interpret=interpret,
+    )(xp, mp, *flat_params)
+    return out[:, :t]
+
+
+def _flatten_params(cfg: tdnn.TdnnConfig, params, state):
+    flat = []
+    for l, layer in enumerate(params["frame"]):
+        bn_s = state["frame"][l]
+        scale = layer["bn"]["gamma"] * jax.lax.rsqrt(
+            bn_s["var"] + cfg.bn_eps)
+        shift = layer["bn"]["beta"] - bn_s["mean"] * scale
+        flat.append(layer["w"].astype(jnp.bfloat16))  # halves VMEM residency
+        flat.append(layer["b"].astype(jnp.float32)[None, :])
+        flat.append(scale.astype(jnp.float32)[None, :])
+        flat.append(shift.astype(jnp.float32)[None, :])
+        if cfg.activation == "prelu":
+            flat.append(layer["alpha"].astype(jnp.float32)[None, :])
+    return tuple(flat)
+
+
+def fused_frame_stack(cfg: tdnn.TdnnConfig, params, state, x, mask=None,
+                      t_tile: int = 256, use_pallas: bool | None = None,
+                      interpret: bool = False):
+    """(B, T, F) → (B, T, channels[-1]) frame-level activations, matching
+    models.tdnn.frame_stack (eval mode) but fused into one kernel."""
+    if not supports(cfg):
+        raise ValueError(f"fused path does not support topology {cfg.name}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if mask is None:
+        mask = jnp.ones(x.shape[:2], jnp.float32)
+    if not use_pallas and not interpret:
+        return tdnn.frame_stack(cfg, params, state, x, mask,
+                                compute_dtype=jnp.bfloat16)
+    flat = _flatten_params(cfg, params, state)
+    return _fused_call(cfg, x, mask, flat, t_tile=t_tile,
+                       interpret=interpret)

@@ -1,0 +1,81 @@
+"""Failure-recovery tests: a run killed mid-training resumes from the last
+complete iteration checkpoint and reaches the same final state as an
+uninterrupted run (the TPU-native equivalent of the reference's per-job
+retry + stage gating, SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from xvector_tpu.parallel import mesh as meshlib
+from xvector_tpu.train import checkpoints as C
+from xvector_tpu.train.trainer import TrainConfig, Trainer
+from xvector_tpu.utils.profiling import StepTimer
+
+NUM_SPK = 6
+FEAT = 23
+
+
+def _batches(seed=0):
+    rng = np.random.RandomState(seed)
+    means = rng.randn(NUM_SPK, FEAT) * 2
+    out = []
+    for _ in range(3):
+        y = rng.randint(0, NUM_SPK, 8).astype(np.int32)
+        x = (rng.randn(8, 48, FEAT) * 0.3
+             + means[y][:, None, :]).astype(np.float16)
+        out.append((x, y, 48))
+    return out
+
+
+def _mk(tmp_path, tag):
+    cfg = TrainConfig(num_targets=NUM_SPK, model="tiny",
+                      compute_dtype="float32", num_epochs=2, block_size=2)
+    mesh = meshlib.make_mesh(data=2, model=1)
+    return Trainer(cfg, str(tmp_path / tag), mesh=mesh, feat_dim=FEAT)
+
+
+class _Boom(Exception):
+    pass
+
+
+def test_crash_and_resume_matches_uninterrupted(tmp_path):
+    batches = _batches()
+
+    # uninterrupted run
+    tr_ref = _mk(tmp_path, "ref")
+    tr_ref.train(lambda i: iter(batches), num_archives=2)
+    want = np.asarray(tr_ref.params["output"]["b"])
+
+    # crashing run: loader explodes at iteration 2
+    tr_a = _mk(tmp_path, "crash")
+    calls = {"n": 0}
+
+    def flaky(i):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise _Boom("simulated data-plane failure")
+        return iter(batches)
+
+    with pytest.raises(_Boom):
+        tr_a.train(flaky, num_archives=2)
+    done = [it for it, p in C.iteration_dirs(str(tmp_path / "crash"))
+            if C.is_complete(p)]
+    assert max(done) == 2        # two iterations checkpointed before crash
+
+    # fresh process resumes and completes; final params match the
+    # uninterrupted run exactly (same seeds, same schedule positions)
+    tr_b = _mk(tmp_path, "crash")
+    tr_b.train(lambda i: iter(batches), num_archives=2)
+    got = np.asarray(tr_b.params["output"]["b"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_step_timer_summary():
+    t = StepTimer()
+    with t("disk"):
+        pass
+    with t("device"):
+        pass
+    s = t.summary()
+    assert set(k.split("_")[0] for k in s) == {"disk", "device"}
+    assert abs(s["disk_pct"] + s["device_pct"] - 100.0) < 1e-6

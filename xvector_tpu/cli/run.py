@@ -65,6 +65,50 @@ class Recipe:
     def _p(self, *parts) -> str:
         return os.path.join(self.cfg.work_dir, *parts)
 
+    # -- stage 0: augmentation (run.sh:113-171) -----------------------------
+    def augment(self, data: DataDir,
+                wav_provider: Callable[[str], np.ndarray],
+                rirs: Optional[list] = None,
+                noises: Optional[list] = None,
+                musics: Optional[list] = None,
+                speeches: Optional[list] = None,
+                kinds: Tuple[str, ...] = ("reverb", "noise", "music",
+                                          "babble"),
+                seed: int = 0):
+        """Build the augmented corpus: each utterance gains one copy per
+        available augmentation kind, named ``<utt>-<kind>`` so the chunk
+        allocator's overlap control treats copies as the same recording
+        (reference run.sh:144-171 + augment_data_dir.py naming).
+
+        Returns (combined DataDir, provider) where the provider serves
+        both clean and augmented waveforms on demand.
+        """
+        from ..ops import augment as auglib
+        cfg = auglib.AugmentConfig()
+        available = [k for k in kinds
+                     if (k == "reverb" and rirs) or (k == "noise" and noises)
+                     or (k == "music" and musics)
+                     or (k == "babble" and speeches)]
+        aug_utt2spk = dict(data.utt2spk)
+        recipes: Dict[str, Tuple[str, str, int]] = {}
+        rng = np.random.RandomState(seed)
+        for utt in data.utts:
+            for kind in available:
+                aug_utt2spk[f"{utt}-{kind}"] = data.utt2spk[utt]
+                recipes[f"{utt}-{kind}"] = (utt, kind, int(rng.randint(2**31)))
+
+        def provider(utt: str) -> np.ndarray:
+            if utt in recipes:
+                base, kind, sub_seed = recipes[utt]
+                sub_rng = np.random.RandomState(sub_seed)
+                return auglib.augment_utterance(
+                    kind, np.asarray(wav_provider(base), np.float32),
+                    sub_rng, cfg, rirs=rirs, noises=noises, musics=musics,
+                    speeches=speeches)
+            return wav_provider(utt)
+
+        return DataDir(utt2spk=aug_utt2spk, wav=data.wav), provider
+
     # -- stage 1: features (run.sh:94-111 make_mfcc + vad) ------------------
     def make_features(self, data: DataDir,
                       wav_provider: Callable[[str], np.ndarray],

@@ -49,9 +49,10 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    return Mesh(devices.reshape(data, model), ("data", "model"))
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    return Mesh(devices[: data * model].reshape(data, model),
+                ("data", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

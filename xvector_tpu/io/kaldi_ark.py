@@ -429,6 +429,58 @@ def read_vec_int_ark(file_or_fd) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 # ---------------------------------------------------------------------------
+# Posteriors & segments (kaldi_io.py:553-697 surface)
+# ---------------------------------------------------------------------------
+
+def read_post_ark(file_or_fd):
+    """Yield (key, posteriors) where posteriors is a list per frame of
+    (int id, float weight) pairs — Kaldi Posterior binary format."""
+    fd = open_or_fd(file_or_fd)
+    try:
+        while True:
+            key = _read_key(fd)
+            if key is None:
+                return
+            marker = fd.read(2)
+            if marker != b"\x00B":
+                raise ValueError(f"ark entry {key}: not binary")
+            num_frames = _read_basic_int32(fd)
+            post = []
+            for _ in range(num_frames):
+                n = _read_basic_int32(fd)
+                frame = []
+                for _ in range(n):
+                    idx = _read_basic_int32(fd)
+                    size = fd.read(1)
+                    if size != b"\x04":
+                        raise ValueError("expected float size byte")
+                    (w,) = struct.unpack("<f", fd.read(4))
+                    frame.append((idx, w))
+                post.append(frame)
+            yield key, post
+    finally:
+        _maybe_close(fd, file_or_fd)
+
+
+def read_segments_as_bool_vec(path: str):
+    """Kaldi segments file for one recording → per-frame bool vector at
+    100 fps (kaldi_io.py read_segments_as_bool_vec semantics)."""
+    segs = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 4:
+                segs.append((float(parts[2]), float(parts[3])))
+    if not segs:
+        return np.zeros(0, dtype=bool)
+    end = max(e for _, e in segs)
+    vec = np.zeros(int(round(end * 100.0)), dtype=bool)
+    for s, e in segs:
+        vec[int(round(s * 100.0)): int(round(e * 100.0))] = True
+    return vec
+
+
+# ---------------------------------------------------------------------------
 # ark+scp writer
 # ---------------------------------------------------------------------------
 

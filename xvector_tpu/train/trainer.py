@@ -39,6 +39,7 @@ from ..models import tdnn
 from ..models.heads import accuracy, am_softmax, softmax_ce
 from ..parallel import mesh as meshlib
 from ..utils.compile_cache import enable_compilation_cache
+from ..utils.profiling import StepTimer
 from . import checkpoints, schedules
 
 __all__ = ["TrainConfig", "Trainer", "make_train_step",
@@ -263,20 +264,34 @@ class Trainer:
         bs = meshlib.batch_sharding(self.mesh)
         bbs = meshlib.block_batch_sharding(self.mesh)
         rep = meshlib.replicated(self.mesh)
+        timer = StepTimer()
 
-        def flush_block(items):
-            nonlocal rng
+        # Upload-ahead: host→device copies of block k+1 overlap block k's
+        # compute (the reference's disk-vs-GPU overlap, models.py:240-289,
+        # moved to the host→device boundary where this platform stalls).
+        import concurrent.futures as cf
+        uploader = cf.ThreadPoolExecutor(max_workers=1)
+        inflight: List[cf.Future] = []
+
+        def upload(items):
             xs = np.stack([i[0] for i in items])
             ys = np.stack([i[1] for i in items])
             tl = np.asarray([i[2] for i in items], np.int32)
             nr = np.asarray([i[3] for i in items], np.int32)
+            return (jax.device_put(xs, bbs), jax.device_put(ys, bbs),
+                    jax.device_put(tl, rep), jax.device_put(nr, rep),
+                    len(items))
+
+        def dispatch(fut):
+            nonlocal rng
+            with timer("upload_wait"):
+                xs, ys, tl, nr, k = fut.result()
             rng, sub = jax.random.split(rng)
-            self.params, self.opt_state, self.state, m = self._block_fn(
-                self.params, self.opt_state, self.state,
-                jax.device_put(xs, bbs), jax.device_put(ys, bbs),
-                jax.device_put(tl, rep), jax.device_put(nr, rep),
-                lr_, keep_, shrink_, sub)
-            stats_pending.append((m, len(items)))
+            with timer("dispatch"):
+                self.params, self.opt_state, self.state, m = \
+                    self._block_fn(self.params, self.opt_state, self.state,
+                                   xs, ys, tl, nr, lr_, keep_, shrink_, sub)
+            stats_pending.append((m, k))
 
         for feats, labels, true_len in batches:
             feats, labels, n_rows = self._pad_rows(feats, labels)
@@ -284,7 +299,13 @@ class Trainer:
             buckets.setdefault(key, []).append(
                 (feats, labels, true_len, n_rows))
             if len(buckets[key]) >= cfg.block_size:
-                flush_block(buckets.pop(key))
+                inflight.append(uploader.submit(upload,
+                                                buckets.pop(key)))
+                while len(inflight) > 2:
+                    dispatch(inflight.pop(0))
+        while inflight:
+            dispatch(inflight.pop(0))
+        uploader.shutdown()
         for key in sorted(buckets):            # ragged leftovers
             for feats, labels, true_len, n_rows in buckets[key]:
                 rng, sub = jax.random.split(rng)
@@ -295,7 +316,8 @@ class Trainer:
                     lr_, keep_, shrink_, sub)
                 stats_pending.append((m, 1))
 
-        jax.block_until_ready(self.params)
+        with timer("device_drain"):
+            jax.block_until_ready(self.params)
         tot_loss = tot_acc = n = 0.0
         for m, k in stats_pending:     # fetch after the device queue drains
             tot_loss += float(m["loss"]) * k
@@ -303,7 +325,7 @@ class Trainer:
             n += k
         return {"loss": tot_loss / max(n, 1),
                 "accuracy": tot_acc / max(n, 1),
-                "minibatches": n}
+                "minibatches": n, **timer.summary()}
 
     def evaluate(self, batches: Iterable) -> Dict[str, float]:
         bs = meshlib.batch_sharding(self.mesh)

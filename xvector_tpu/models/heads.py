@@ -42,6 +42,78 @@ def accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
                   weight)
 
 
+def sharded_softmax_ce(hidden: jnp.ndarray, weight: jnp.ndarray,
+                       bias: jnp.ndarray, labels: jnp.ndarray, mesh,
+                       row_weight=None,
+                       axis: str = "model") -> tuple[jnp.ndarray,
+                                                     jnp.ndarray]:
+    """All-gather-free cross-entropy over a column-sharded classifier.
+
+    For speaker counts far beyond one chip's HBM the (D, C) head lives
+    column-sharded over the ``model`` mesh axis.  Materialising full
+    (B, C) logits per replica (what naive auto-partitioning may do) costs
+    an all-gather of C columns; instead each shard computes its local
+    logits and only two scalars per row cross the mesh:
+
+      * a psum-max and psum of exp for the global logsumexp,
+      * a psum of the target-class logit (each label lives on one shard).
+
+    Returns (mean CE, accuracy).  Works for any C divisible by the axis
+    size; exact same value as dense softmax_ce.
+    """
+    try:
+        from jax import shard_map           # JAX ≥ 0.7 public path
+    except ImportError:                     # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    c_total = weight.shape[1]
+    if c_total % n_shards:
+        raise ValueError(f"num classes {c_total} not divisible by "
+                         f"{axis}={n_shards}")
+    c_local = c_total // n_shards
+
+    def local(h, w, b, y, rw):
+        shard = jax.lax.axis_index(axis)
+        logits = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        # global max for stability only — no gradient flows through it
+        m_local = jnp.max(logits, axis=-1)
+        m = jax.lax.stop_gradient(
+            jax.lax.pmax(jax.lax.stop_gradient(m_local), axis))
+        sumexp = jax.lax.psum(
+            jnp.sum(jnp.exp(logits - m[:, None]), axis=-1), axis)
+        # target logit: the owning shard contributes, others add 0
+        local_label = y - shard * c_local
+        owned = (local_label >= 0) & (local_label < c_local)
+        idx = jnp.clip(local_label, 0, c_local - 1)
+        tgt = jnp.take_along_axis(logits, idx[:, None], axis=-1)[:, 0]
+        tgt = jax.lax.psum(jnp.where(owned, tgt, 0.0), axis)
+        nll = m + jnp.log(sumexp) - tgt
+        # accuracy: global argmax via (value, index) max reduction
+        i_local = jnp.argmax(logits, axis=-1) + shard * c_local
+        best = m   # global max (already stop-gradient)
+        # tie-break: the shard holding the max reports its index
+        holder = jnp.where(jax.lax.stop_gradient(m_local) >= best,
+                           i_local, -1)
+        pred = jax.lax.pmax(holder, axis)
+        correct = (pred == y).astype(jnp.float32)
+        if rw is None:
+            return jnp.mean(nll), jnp.mean(correct)
+        wsum = jnp.maximum(jnp.sum(rw), 1.0)
+        return jnp.sum(nll * rw) / wsum, jnp.sum(correct * rw) / wsum
+
+    rw_spec = P() if row_weight is None else P()
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis), P(), rw_spec),
+        out_specs=(P(), P()),
+        check_vma=False)
+    rw = (jnp.ones(hidden.shape[0], jnp.float32)
+          if row_weight is None else row_weight)
+    return fn(hidden, weight, bias, labels, rw)
+
+
 def am_softmax(hidden: jnp.ndarray, weight: jnp.ndarray,
                labels: jnp.ndarray, scale: float = 30.0,
                margin: float = 0.2,

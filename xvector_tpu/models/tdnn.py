@@ -329,7 +329,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
           dropout_keep: float | jnp.ndarray = 1.0,
           rng: Optional[jax.Array] = None,
           compute_dtype=jnp.float32,
-          bn_stats_out: bool = False) -> Dict[str, Any]:
+          bn_stats_out: bool = False,
+          skip_head: bool = False) -> Dict[str, Any]:
     """Forward pass.
 
     Args:
@@ -408,13 +409,16 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
             h = dropout(h)
 
     out = params["output"]
-    logits = _affine(h, out["w"], out["b"], compute_dtype)
+    # skip_head: heads that consume `hidden` directly (AM-softmax, the
+    # sharded-CE head) don't need the dense (B, C) logits matmul
+    logits = (None if skip_head
+              else _affine(h, out["w"], out["b"], compute_dtype))
     if cfg.l2_beta > 0.0:
         l2 = l2 + 0.5 * (jnp.sum(jnp.square(out["w"]))
                          + jnp.sum(jnp.square(out["b"])))
 
     return {
-        "logits": logits.astype(jnp.float32),
+        "logits": None if logits is None else logits.astype(jnp.float32),
         "xvector": xvector,
         "hidden": h.astype(jnp.float32),   # post embed stack, pre output
         "pooled": pooled,

@@ -36,7 +36,8 @@ import numpy as np
 import optax
 
 from ..models import tdnn
-from ..models.heads import accuracy, am_softmax, softmax_ce
+from ..models.heads import (accuracy, am_softmax, sharded_softmax_ce,
+                            softmax_ce)
 from ..parallel import mesh as meshlib
 from ..utils.compile_cache import enable_compilation_cache
 from ..utils.profiling import StepTimer
@@ -79,31 +80,41 @@ def _device_mask(batch_shape, t_len, n_rows):
 
 def _loss_fn(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig, params, state,
              batch, labels, t_len, n_rows, dropout_keep, rng,
-             bn_stats_out: bool = False):
+             bn_stats_out: bool = False, mesh=None):
     mask, weight = _device_mask(batch.shape, t_len, n_rows)
     out = tdnn.apply(model_cfg, params, state, batch, mask=mask,
                      row_weight=weight, train=True,
                      dropout_keep=dropout_keep, rng=rng,
                      compute_dtype=jnp.dtype(cfg.compute_dtype),
-                     bn_stats_out=bn_stats_out)
+                     bn_stats_out=bn_stats_out,
+                     skip_head=cfg.head in ("am_softmax",
+                                            "sharded_softmax"))
     if cfg.head == "am_softmax":
         ce, logits = am_softmax(out["hidden"], params["output"]["w"],
                                 labels, cfg.am_scale, cfg.am_margin,
                                 row_weight=weight)
+        acc = accuracy(logits, labels, weight)
+    elif cfg.head == "sharded_softmax":
+        # all-gather-free CE over the model-axis-sharded head; the model's
+        # own dense logits are bypassed (hidden → sharded matmul inside)
+        ce, acc = sharded_softmax_ce(
+            out["hidden"], params["output"]["w"], params["output"]["b"],
+            labels, mesh, row_weight=weight)
     else:
         logits = out["logits"]
         ce = softmax_ce(logits, labels, weight)
+        acc = accuracy(logits, labels, weight)
     loss = ce + out["l2_loss"]
-    return loss, (out["state"], ce, accuracy(logits, labels, weight))
+    return loss, (out["state"], ce, acc)
 
 
 def _grad_and_update(model_cfg, cfg, optimizer, params, opt_state, state,
                      batch, labels, t_len, n_rows, lr, dropout_keep,
-                     shrink, rng, bn_stats_out: bool = False):
+                     shrink, rng, bn_stats_out: bool = False, mesh=None):
     grad_fn = jax.value_and_grad(_loss_fn, argnums=2, has_aux=True)
     (loss, (state, ce, acc)), grads = grad_fn(
         model_cfg, cfg, params, state, batch, labels, t_len, n_rows,
-        dropout_keep, rng, bn_stats_out)
+        dropout_keep, rng, bn_stats_out, mesh)
     if cfg.max_param_change > 0.0:
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, cfg.max_param_change / (gnorm * lr + 1e-20))
@@ -116,7 +127,7 @@ def _grad_and_update(model_cfg, cfg, optimizer, params, opt_state, state,
 
 
 def make_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation, mesh=None):
     """Single-minibatch jitted step.  Scalars (lr, dropout_keep, shrink,
     t_len, n_rows) are traced operands: schedule changes and length-bucket
     content never retrigger compilation."""
@@ -127,14 +138,16 @@ def make_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
         opt_state.hyperparams["learning_rate"] = lr
         params, opt_state, state, loss, acc = _grad_and_update(
             model_cfg, cfg, optimizer, params, opt_state, state, batch,
-            labels, t_len, n_rows, lr, dropout_keep, shrink, rng)
+            labels, t_len, n_rows, lr, dropout_keep, shrink, rng,
+            mesh=mesh)
         return params, opt_state, state, {"loss": loss, "accuracy": acc}
 
     return step
 
 
 def make_block_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
-                          optimizer: optax.GradientTransformation):
+                          optimizer: optax.GradientTransformation,
+                          mesh=None):
     """Train step over a BLOCK of stacked minibatches via lax.scan: one
     host dispatch → block_size sequential updates on device."""
 
@@ -154,7 +167,7 @@ def make_block_train_step(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig,
             params, opt_state, moments, loss, acc = _grad_and_update(
                 model_cfg, cfg, optimizer, params, opt_state, state, x, y,
                 t_len, n_rows, lr, dropout_keep, shrink, key,
-                bn_stats_out=True)
+                bn_stats_out=True, mesh=mesh)
             return (params, opt_state), (moments, jnp.stack([loss, acc]))
 
         (params, opt_state), (stacked, stats) = jax.lax.scan(
@@ -201,9 +214,10 @@ class Trainer:
         # whole schedule.
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.initial_effective_lrate)
-        self._step_fn = make_train_step(self.model_cfg, cfg, self.optimizer)
+        self._step_fn = make_train_step(self.model_cfg, cfg,
+                                        self.optimizer, self.mesh)
         self._block_fn = make_block_train_step(self.model_cfg, cfg,
-                                               self.optimizer)
+                                               self.optimizer, self.mesh)
         self._eval_fn = make_eval_step(self.model_cfg, cfg)
         self._metrics_path = os.path.join(work_dir, "metrics.jsonl")
         self._dropout_points = schedules.parse_dropout_schedule(

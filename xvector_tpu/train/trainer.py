@@ -65,6 +65,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     max_param_change: float = 0.0          # 0 = off (dead knob in reference)
     block_size: int = 16                   # minibatches per device dispatch
+    optimizer: str = "adam"                # adam (reference) | sgd
+    momentum: float = 0.5                  # used by sgd (run_xvector.sh:96
+    #                                        passes 0.5; dead under Adam)
 
 
 def _device_mask(batch_shape, t_len, n_rows):
@@ -210,10 +213,18 @@ class Trainer:
         os.makedirs(work_dir, exist_ok=True)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         # Adam exactly as the reference (models.py:518 AdamOptimizer
-        # defaults); lr injected per step so one compilation serves the
-        # whole schedule.
-        self.optimizer = optax.inject_hyperparams(optax.adam)(
-            learning_rate=cfg.initial_effective_lrate)
+        # defaults) or SGD+momentum (the knob the reference parses but
+        # never wires up); lr injected per step so one compilation serves
+        # the whole schedule.
+        if cfg.optimizer == "adam":
+            self.optimizer = optax.inject_hyperparams(optax.adam)(
+                learning_rate=cfg.initial_effective_lrate)
+        elif cfg.optimizer == "sgd":
+            self.optimizer = optax.inject_hyperparams(
+                functools.partial(optax.sgd, momentum=cfg.momentum))(
+                learning_rate=cfg.initial_effective_lrate)
+        else:
+            raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
         self._step_fn = make_train_step(self.model_cfg, cfg,
                                         self.optimizer, self.mesh)
         self._block_fn = make_block_train_step(self.model_cfg, cfg,

@@ -169,3 +169,27 @@ def test_materialized_content_matches_source(tmp_path):
                 want = feats[c.utt][c.offset: c.offset + c.length]
                 np.testing.assert_allclose(x[i, : c.length], want,
                                            atol=2e-3)
+
+
+def test_deterministic_length_strategy():
+    from xvector_tpu.data.allocator import deterministic_chunk_length
+    # reference formula endpoints (create_egs.py:223-231)
+    assert deterministic_chunk_length(0, 5, 200, 400) == 200
+    assert deterministic_chunk_length(4, 5, 200, 400) == 400
+    assert deterministic_chunk_length(2, 5, 200, 400) == \
+        int((400 / 200) ** 0.5 * 200 + 0.5)
+    assert deterministic_chunk_length(3, 1, 200, 400) == 400
+    assert deterministic_chunk_length(1, 9, 300, 300) == 300
+
+    utt2len, utt2label = _toy_corpus()
+    cfg2 = A.AllocatorConfig(min_frames=100, max_frames=200,
+                             minibatch_size=8, num_repeats=4,
+                             frames_per_iter=50_000, seed=1,
+                             length_strategy="deterministic")
+    plans = list(A.allocate_archives(utt2len, utt2label, cfg2,
+                                     num_archives=3))
+    # one deterministic length per archive, increasing geometrically
+    lens = [set(mb.length for mb in p.minibatches) for p in plans]
+    assert all(len(s) == 1 for s in lens)
+    vals = [next(iter(s)) for s in lens]
+    assert vals[0] == 100 and vals[-1] == 200 and vals == sorted(vals)

@@ -40,6 +40,10 @@ def get_args(argv=None):
     p.add_argument("--feat-dim", type=int, default=23)
     p.add_argument("--output-ark", required=True)
     p.add_argument("--output-scp", default="")
+    p.add_argument("--spk2utt", default="",
+                   help="optional spk2utt file; also writes speaker-mean "
+                        "x-vectors + num_utts (ivector-mean parity, "
+                        "extract_xvectors.sh:100-102)")
     return p.parse_args(argv)
 
 
@@ -79,10 +83,29 @@ def main(argv=None):
             yield utt, feats
 
     n = 0
+    xvectors = {}
     with kio.ArkWriter(args.output_ark, scp) as w:
         for utt, xv in ex.extract_iter(stream()):
             w.write(utt, xv)
+            if args.spk2utt:
+                xvectors[utt] = xv
             n += 1
+    if args.spk2utt:
+        from ..extract.extractor import speaker_means
+        utt2spk = {}
+        for line in open(args.spk2utt):
+            parts = line.split()
+            for u in parts[1:]:
+                utt2spk[u] = parts[0]
+        means, counts = speaker_means(
+            {u: v for u, v in xvectors.items() if u in utt2spk}, utt2spk)
+        base = args.output_ark.replace(".ark", "")
+        with kio.ArkWriter(base + "_spk.ark", base + "_spk.scp") as w:
+            for spk in sorted(means):
+                w.write(spk, means[spk])
+        with open(base + "_num_utts.ark", "w") as f:
+            for spk in sorted(counts):
+                f.write(f"{spk} {counts[spk]}\n")
     open(scp + ".done", "w").close()
     print(f"wrote {n} x-vectors -> {args.output_ark}")
 

@@ -96,6 +96,10 @@ class AllocatorConfig:
     max_offset_attempts: int = 10
     length_bucket: int = 32         # TPU shape-bucketing granularity
     seed: int = 2468                # run_xvector.sh:85
+    # chunk-length strategy: "random" (active reference path, per-minibatch
+    # uniform draw) or "deterministic" (create_egs.py:223-231: geometric
+    # interpolation min→max across archives, one length per archive)
+    length_strategy: str = "random"
 
 
 class _SpeakerSampler:
@@ -145,6 +149,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def deterministic_chunk_length(archive_id: int, num_archives: int,
+                               min_frames: int, max_frames: int) -> int:
+    """Geometric min→max interpolation across archives
+    (create_egs.py:223-231)."""
+    if max_frames == min_frames or num_archives == 1:
+        return max_frames
+    return int((max_frames / min_frames)
+               ** (archive_id / (num_archives - 1)) * min_frames + 0.5)
+
+
 def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
                       cfg: AllocatorConfig,
                       num_archives: int | None = None
@@ -184,7 +198,11 @@ def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
                      * sum(utt2len[u] for u in utts) // max(num_archives, 1)
                      + cfg.minibatch_size * cfg.max_frames)
         while frames_planned < target:
-            length = rng.randint(cfg.min_frames, cfg.max_frames)
+            if cfg.length_strategy == "deterministic":
+                length = deterministic_chunk_length(
+                    arch_i, num_archives, cfg.min_frames, cfg.max_frames)
+            else:
+                length = rng.randint(cfg.min_frames, cfg.max_frames)
             chunks: List[ChunkSpec] = []
             while len(chunks) < cfg.minibatch_size:
                 if pool_pos >= len(draw_pool):

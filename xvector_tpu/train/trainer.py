@@ -68,6 +68,12 @@ class TrainConfig:
     optimizer: str = "adam"                # adam (reference) | sgd
     momentum: float = 0.5                  # used by sgd (run_xvector.sh:96
     #                                        passes 0.5; dead under Adam)
+    max_iteration_retries: int = 0         # reference retries failed jobs
+    # up to 16x with 30 s backoff (train_dnn.py:17,364-397); here a retry
+    # restores the previous iteration checkpoint and reruns. Default 0:
+    # in-process failures are usually deterministic; raise for flaky
+    # storage/network data planes.
+    retry_backoff_s: float = 30.0
 
 
 def _device_mask(batch_shape, t_len, n_rows):
@@ -395,8 +401,21 @@ class Trainer:
                       if cfg.apply_shrink and cfg.proportional_shrink > 0
                       else 1.0)
             t0 = time.monotonic()
-            stats = self.train_one_iteration(
-                it, archive_batches(it % num_archives), lr, drop, shrink)
+            for attempt in range(cfg.max_iteration_retries + 1):
+                try:
+                    stats = self.train_one_iteration(
+                        it, archive_batches(it % num_archives), lr, drop,
+                        shrink)
+                    break
+                except Exception:
+                    if attempt >= cfg.max_iteration_retries:
+                        raise
+                    self._log({"iteration": it, "kind": "retry",
+                               "attempt": attempt})
+                    time.sleep(cfg.retry_backoff_s)
+                    # roll back to the last complete checkpoint so the
+                    # rerun starts from a consistent state
+                    checkpoints.restore_latest(self, 0)
             stats.update(iteration=it, lr=lr, dropout=drop,
                          seconds=time.monotonic() - t0, kind="train")
             self._log(stats)

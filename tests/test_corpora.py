@@ -99,3 +99,47 @@ def test_datadir_algebra_roundtrip(tmp_path):
     assert merged.utt2spk == dd.utt2spk
     assert back.filter_min_frames(80).utts == ["a-1", "b-1"]
     assert back.subset_speakers(2).speakers == ["a"]
+
+
+def test_make_call_corpus(tmp_path):
+    for fid in ("sw_10001", "sw_10002"):
+        _touch(str(tmp_path / "audio" / f"{fid}.sph"))
+    callers = [("sw_10001", "A", "spkX"), ("sw_10001", "B", "spkY"),
+               ("sw_10002", "A", "spkX"), ("missing", "A", "spkZ")]
+    dd = C.make_call_corpus(str(tmp_path / "audio"), callers)
+    assert len(dd) == 3                      # missing file skipped
+    assert dd.utt2spk["spkX-sw_10001-A"] == "spkX"
+    assert dd.wav["spkY-sw_10001-B"].endswith("sw_10001.sph#ch1")
+    path, ch = C.parse_channel_spec(dd.wav["spkY-sw_10001-B"])
+    assert path.endswith(".sph") and ch == 1
+
+
+def test_load_callers_csv(tmp_path):
+    p = tmp_path / "callers.csv"
+    p.write_text("file_id,channel,speaker\nsw1,A,s1\nsw1,B,s2\n")
+    rows = C.load_callers_csv(str(p))
+    assert rows == [("sw1", "A", "s1"), ("sw1", "B", "s2")]
+    # tsv sniffing
+    p2 = tmp_path / "callers.tsv"
+    p2.write_text("file_id\tchannel\tspeaker\nsw9\tB\ts7\n")
+    assert C.load_callers_csv(str(p2)) == [("sw9", "B", "s7")]
+
+
+def test_load_wave_channel_suffix(tmp_path):
+    import struct
+    import numpy as np
+    from xvector_tpu.io import wav as W
+    a = np.arange(50, dtype=np.int16)
+    b = -np.arange(50, dtype=np.int16)
+    inter = np.empty(100, dtype=np.int16)
+    inter[0::2], inter[1::2] = a, b
+    hdr_lines = ["NIST_1A", "   1024", "channel_count -i 2",
+                 "sample_rate -i 8000", "sample_n_bytes -i 2",
+                 "sample_byte_format -s2 01", "sample_coding -s3 pcm",
+                 "end_head"]
+    header = "\n".join(hdr_lines).encode() + b"\n"
+    header += b" " * (1024 - len(header) - 1) + b"\n"
+    p = tmp_path / "c.sph"
+    p.write_bytes(header + inter.tobytes())
+    s1, _ = W.load_wave(str(p) + "#ch1")
+    np.testing.assert_array_equal(s1, b.astype(np.float32))

@@ -339,21 +339,107 @@ class Recipe:
                 "num_trials": len(trials)}
 
 
+def _synthetic_corpus(num_spk: int, utts_per_spk: int, seed: int = 0):
+    """Resonant-tone speakers (the e2e test corpus) for demo/smoke runs."""
+    rng = np.random.RandomState(seed)
+    sr = 8000
+    f0 = rng.uniform(300, 3000, size=(num_spk, 2))
+    waves, utt2spk = {}, {}
+    for s in range(num_spk):
+        for u in range(utts_per_spk):
+            dur = int(sr * rng.uniform(1.8, 2.5))
+            t = np.arange(dur) / sr
+            w = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+                    for f in f0[s])
+            utt = f"spk{s}_utt{u}"
+            waves[utt] = (3000 * w + 300 * rng.randn(dur)) \
+                .astype(np.float32)
+            utt2spk[utt] = f"spk{s}"
+    return waves, utt2spk
+
+
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="xvector_tpu recipe driver")
+    """Staged end-to-end driver (run.sh stages, --stage gating):
+
+      1 features · 2 egs · 3 train · 4 extract · 5 score
+
+    Input: --data-dir (Kaldi data dir whose wav.scp the native decoder can
+    read) or --synthetic-speakers for a self-contained demo corpus.
+    """
+    from ..io.wav import load_wave
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--work-dir", required=True)
-    ap.add_argument("--model", default="no_dropout",
-                    choices=sorted(tdnn.MODEL_ZOO))
-    ap.add_argument("--num-archives", type=int, default=4)
+    ap.add_argument("--stage", type=int, default=1,
+                    help="kept for run.sh familiarity; every stage is "
+                         "idempotent and auto-skips completed artifacts, "
+                         "so restarts behave like the reference's gating")
+    ap.add_argument("--data-dir", default="")
+    ap.add_argument("--synthetic-speakers", type=int, default=0)
+    ap.add_argument("--synthetic-utts", type=int, default=6)
+    ap.add_argument("--model", default="no_dropout")
+    ap.add_argument("--num-archives", type=int, default=2)
     ap.add_argument("--num-epochs", type=int, default=2)
+    ap.add_argument("--lda-dim", type=int, default=0)
+    ap.add_argument("--min-chunk", type=int, default=60)
+    ap.add_argument("--max-chunk", type=int, default=120)
+    ap.add_argument("--minibatch-size", type=int, default=8)
+    ap.add_argument("--compute-dtype", default="bfloat16")
     args = ap.parse_args(argv)
+
+    if args.synthetic_speakers:
+        waves, utt2spk = _synthetic_corpus(args.synthetic_speakers,
+                                           args.synthetic_utts)
+        data = DataDir(utt2spk=utt2spk)
+        provider = lambda u: waves[u]
+    elif args.data_dir:
+        from ..io.datadir import load_data_dir
+        data = load_data_dir(args.data_dir)
+        provider = lambda u: load_wave(data.wav[u])[0]
+    else:
+        ap.error("need --data-dir or --synthetic-speakers")
+
+    preset = tdnn.REFERENCE_CLASS_TO_PRESET.get(args.model, args.model)
     cfg = RecipeConfig(
         work_dir=args.work_dir,
+        min_utt_frames=args.min_chunk,
+        num_valid_utts=max(2, len(data) // 10),
         num_archives=args.num_archives,
-        train=TrainConfig(model=args.model, num_targets=1,
-                          num_epochs=args.num_epochs))
-    print(f"recipe config ready at {cfg.work_dir}; drive via the Recipe "
-          f"API (see tests/test_e2e.py for a complete example)")
+        allocator=alloclib.AllocatorConfig(
+            min_frames=args.min_chunk, max_frames=args.max_chunk,
+            minibatch_size=args.minibatch_size, num_repeats=3,
+            frames_per_iter=10 ** 6, length_bucket=32),
+        train=TrainConfig(model=preset, num_targets=1,
+                          num_epochs=args.num_epochs,
+                          compute_dtype=args.compute_dtype),
+        extractor=ExtractorConfig(
+            min_chunk=25, max_chunk=max(400, args.max_chunk),
+            batch_size=8),
+        lda_dim=args.lda_dim)
+    recipe = Recipe(cfg)
+
+    print(f"== stage 1: features ({len(data)} utts)")
+    feat_dir = recipe.make_features(data, provider, split="all")
+    print("== stage 2: egs")
+    train_dir, valid_dir, num_targets = recipe.make_egs(feat_dir)
+    print(f"   {num_targets} speakers, {cfg.num_archives} archives")
+    print("== stage 3: train")
+    trainer = recipe.train(num_targets)
+    print("== stage 4: extract")
+    xv = recipe.extract(trainer, feat_dir, split="all")
+    print(f"   {len(xv)} x-vectors -> {recipe.cfg.work_dir}")
+    print("== stage 5: score (speaker-verification trials)")
+    from ..extract.extractor import speaker_means
+    utts = sorted(xv)
+    enroll = {u: xv[u] for i, u in enumerate(utts) if i % 2 == 0}
+    test = {u: xv[u] for i, u in enumerate(utts) if i % 2 == 1}
+    spk_enroll, num_utts = speaker_means(enroll, feat_dir.utt2spk)
+    trials = [(s, t, 1 if feat_dir.utt2spk[t] == s else 0)
+              for s in spk_enroll for t in test]
+    train_xv = {u: xv[u] for u in train_dir.utts if u in xv}
+    res = recipe.score(train_xv, train_dir, spk_enroll, test, trials)
+    print(f"   EER {res['eer']*100:.2f}%  minDCF {res['min_dcf']:.3f}  "
+          f"({res['num_trials']} trials)")
 
 
 if __name__ == "__main__":

@@ -149,6 +149,54 @@ def make_sre16_unlabeled(root: str) -> DataDir:
     return make_from_table(rows)
 
 
+def make_call_corpus(audio_root: str,
+                     callers: Iterable[Tuple[str, str, str]]) -> DataDir:
+    """Two-channel telephone-call corpora (the SWBD cellular/phase and
+    SRE04-10 pattern the reference's ``local/make_swbd*.pl`` /
+    ``make_sre_BUT.sh`` scripts parse from LDC tables): each .sph holds
+    two call sides; a callers table assigns ``(file_id, channel A|B,
+    speaker)``.
+
+    Utterances are named ``<speaker>-<file_id>-<channel>`` (the Snyder
+    convention), and the wav entry records the channel for the SPHERE
+    decoder.
+    """
+    index = {}
+    for p in _walk_audio(audio_root):
+        index[_utt_id(p)] = p
+    rows = []
+    for file_id, channel, speaker in callers:
+        if file_id not in index:
+            continue
+        ch = 0 if channel.upper() in ("A", "1") else 1
+        utt = f"{speaker}-{file_id}-{channel.upper()}"
+        rows.append((utt, speaker, f"{index[file_id]}#ch{ch}"))
+    return make_from_table(rows)
+
+
+def parse_channel_spec(spec: str) -> Tuple[str, Optional[int]]:
+    """Split a ``path#chN`` wav entry into (path, channel)."""
+    if "#ch" in spec:
+        path, _, ch = spec.rpartition("#ch")
+        return path, int(ch)
+    return spec, None
+
+
+def load_callers_csv(path: str, file_col: str = "file_id",
+                     channel_col: str = "channel",
+                     speaker_col: str = "speaker"
+                     ) -> List[Tuple[str, str, str]]:
+    """Generic caller-table loader for LDC-style CSV/TSV speaker keys."""
+    out = []
+    with open(path, newline="") as f:
+        sample = f.read(4096)
+        f.seek(0)
+        dialect = csv.Sniffer().sniff(sample, delimiters=",\t|")
+        for row in csv.DictReader(f, dialect=dialect):
+            out.append((row[file_col], row[channel_col], row[speaker_col]))
+    return out
+
+
 def load_trials(path: str) -> List[Tuple[str, str, int]]:
     """Kaldi trials file ``<enroll> <test> target|nontarget`` →
     (enroll, test, label) rows (run.sh:281-293 scoring input)."""

@@ -29,6 +29,9 @@ def load_wave(spec: str, channel: Optional[int] = None
     pipe producing a wav stream.  Returns (float32 samples in int16 scale,
     sample_rate)."""
     spec = spec.strip()
+    if "#ch" in spec and channel is None:     # call-corpus channel suffix
+        spec, _, ch = spec.rpartition("#ch")
+        channel = int(ch)
     if spec.endswith("|"):
         data = subprocess.run(spec[:-1], shell=True, check=True,
                               stdout=subprocess.PIPE).stdout

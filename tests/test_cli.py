@@ -85,3 +85,39 @@ def test_train_cli_rejects_unknown_model(tmp_path):
     with pytest.raises(SystemExit):
         train_dnn.main(["--model=bogus", "--num-targets=4",
                         f"--egs-dir={tmp_path}", f"--dir={tmp_path}/x"])
+
+
+def test_extract_cli_spk_means(tmp_path):
+    """--spk2utt writes speaker-mean x-vectors + num_utts (ivector-mean)."""
+    egs = tmp_path / "egs"
+    egs.mkdir()
+    _make_egs(egs, n_archives=1)
+    work = str(tmp_path / "exp")
+    train_dnn.main([
+        "--model=tiny", f"--num-targets={NUM_SPK}", "--num-epochs=1",
+        "--compute-dtype=float32", f"--egs-dir={egs}", f"--dir={work}",
+        "--block-size=2",
+    ])
+    rng = np.random.RandomState(2)
+    feats_ark = str(tmp_path / "f.ark")
+    with kio.ArkWriter(feats_ark, feats_ark + ".scp") as w:
+        for i in range(4):
+            w.write(f"u{i}", rng.randn(80, 23).astype(np.float32))
+    spk2utt = tmp_path / "spk2utt"
+    spk2utt.write_text("sA u0 u1 u2\nsB u3\n")
+    out_ark = str(tmp_path / "xv2.ark")
+    extract_embedding.main([
+        f"--model-dir={work}", "--model=tiny",
+        f"--num-targets={NUM_SPK}",
+        f"--feats-rspecifier=ark:{feats_ark}",
+        f"--output-ark={out_ark}", f"--spk2utt={spk2utt}",
+    ])
+    spk = dict(kio.read_vec_flt_scp(out_ark.replace(".ark", "_spk.scp")))
+    assert set(spk) == {"sA", "sB"}
+    utt = dict(kio.read_vec_flt_scp(out_ark.replace(".ark", ".scp")))
+    np.testing.assert_allclose(
+        spk["sA"], np.mean([utt["u0"], utt["u1"], utt["u2"]], axis=0),
+        atol=1e-6)
+    num_utts = dict(l.split() for l in
+                    open(out_ark.replace(".ark", "_num_utts.ark")))
+    assert num_utts == {"sA": "3", "sB": "1"}

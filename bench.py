@@ -29,7 +29,7 @@ MINIBATCH = 64               # run_xvector.sh:47
 FRAMES = 304                 # ~recipe mean chunk (200-400), bucketed
 FEAT_DIM = 23
 FRAME_SHIFT_S = 0.01
-STEPS = 30
+STEPS = 128
 
 
 def bench_train(jax, jnp):
@@ -41,7 +41,7 @@ def bench_train(jax, jnp):
     from xvector_tpu.train.trainer import TrainConfig, make_block_train_step
     import optax
 
-    block = 8
+    block = 16
     cfg = TrainConfig(model="no_dropout", num_targets=NUM_SPEAKERS,
                       compute_dtype="bfloat16", block_size=block)
     model_cfg = tdnn.MODEL_ZOO["no_dropout"]

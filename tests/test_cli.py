@@ -121,3 +121,24 @@ def test_extract_cli_spk_means(tmp_path):
     num_utts = dict(l.split() for l in
                     open(out_ark.replace(".ark", "_num_utts.ark")))
     assert num_utts == {"sA": "3", "sB": "1"}
+
+
+def test_eval_dnn_cli(tmp_path, capsys):
+    from xvector_tpu.cli import eval_dnn
+    egs = tmp_path / "egs"
+    egs.mkdir()
+    _make_egs(egs, n_archives=1)
+    work = str(tmp_path / "exp")
+    train_dnn.main([
+        "--model=tiny", f"--num-targets={NUM_SPK}", "--num-epochs=1",
+        "--compute-dtype=float32", f"--egs-dir={egs}", f"--dir={work}",
+        "--block-size=2",
+    ])
+    capsys.readouterr()
+    eval_dnn.main([f"--model-dir={work}", "--model=tiny",
+                   f"--num-targets={NUM_SPK}",
+                   f"--egs={egs}/valid_egs.xta"])
+    import json as _json
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert out["loss"] > 0.0

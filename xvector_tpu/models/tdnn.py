@@ -216,19 +216,25 @@ def _activate(cfg: TdnnConfig, layer: Params, x):
 
 
 def _masked_moments(x, mask, axes):
-    """Mean/var over `axes`, ignoring positions where mask==0.
+    """f32 mean/var over `axes`, ignoring positions where mask==0.
 
-    mask broadcasts against x with trailing feature dim of 1.  With a sharded
-    batch under pjit the jnp.sum reductions become cross-replica psums
-    automatically, giving exact global batch statistics.
+    Elementwise products run in x's own dtype and only the REDUCTIONS
+    accumulate in f32 (``dtype=`` on the sums) — a bf16 activation never
+    materialises an f32 copy, which halves the HBM traffic of every BN
+    moment pass.  mask broadcasts against x with a trailing feature dim of
+    1.  With a sharded batch under pjit the sums become cross-replica
+    psums automatically, giving exact global batch statistics.
     """
     if mask is None:
-        mean = jnp.mean(x, axes)
-        var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+        mean = jnp.mean(x, axes, dtype=jnp.float32)
+        var = jnp.mean(jnp.square(x), axes, dtype=jnp.float32) \
+            - jnp.square(mean)
         return mean, var
-    count = jnp.maximum(jnp.sum(mask, axes), 1.0)
-    mean = jnp.sum(x * mask, axes) / count
-    var = jnp.sum(jnp.square(x) * mask, axes) / count - jnp.square(mean)
+    m = mask.astype(x.dtype)
+    count = jnp.maximum(jnp.sum(mask.astype(jnp.float32), axes), 1.0)
+    mean = jnp.sum(x * m, axes, dtype=jnp.float32) / count
+    var = jnp.sum(jnp.square(x) * m, axes, dtype=jnp.float32) / count \
+        - jnp.square(mean)
     return mean, var
 
 
@@ -245,7 +251,7 @@ def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig,
     """
     axes = tuple(range(x.ndim - 1))
     if train:
-        mean, var = _masked_moments(x.astype(jnp.float32), mask, axes)
+        mean, var = _masked_moments(x, mask, axes)
         if stats_out:
             new_s = {"mean": mean, "var": var}
         else:
@@ -255,9 +261,13 @@ def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig,
     else:
         mean, var = bn_s["mean"], bn_s["var"]
         new_s = bn_s
+    # fold (mean, var, γ, β) into one per-channel affine computed in f32,
+    # applied in x's dtype: the big elementwise pass stays bf16 and fuses
+    # into the conv epilogue instead of materialising f32 activations
     inv = jax.lax.rsqrt(var + cfg.bn_eps)
-    out = (x - mean) * inv * bn_p["gamma"] + bn_p["beta"]
-    return out.astype(x.dtype), new_s
+    a = (inv * bn_p["gamma"]).astype(x.dtype)
+    b = (bn_p["beta"] - mean * inv * bn_p["gamma"]).astype(x.dtype)
+    return x * a + b, new_s
 
 
 def fold_bn_state(state0: State, stacked: State, decay: float) -> State:
@@ -278,34 +288,38 @@ def fold_bn_state(state0: State, stacked: State, decay: float) -> State:
 def _conv1d_same(x, w, dilation: int):
     """(B, T, Cin) ⊛ (K, Cin, Cout) → (B, T, Cout), SAME padding.
 
-    Two lowerings:
+    Two lowerings, both pure dot_general (no conv primitive):
     * narrow input (k·Cin ≤ 160, i.e. the 23-dim MFCC front layer):
-      unfold-to-one-matmul.  The naive conv decomposes into k matmuls of
-      contraction size Cin — at Cin=23 the MXU runs at <20% of a 128-lane
-      pass and layer 1 alone cost half the forward (measured 0.89 ms of
-      1.83 ms).  Concatenating the k shifted slices gives ONE matmul with
-      contraction k·Cin≈115 ≈ one full MXU pass.
-    * otherwise lax.conv_general_dilated (NWC/WIO), which XLA maps to MXU
-      matmuls well for Cin ≥ 512.
+      unfold-to-one-matmul — k tiny-K matmuls would run the MXU at <20%
+      of a 128-lane pass; the concatenated slices give ONE contraction of
+      k·Cin≈115.
+    * otherwise: k shifted matmuls of the SAME-padded input, summed.
+      lax.conv_general_dilated is avoided deliberately: its grad rules
+      make XLA pick T-major activation layouts and the resulting
+      {2,1,0}↔{2,0,1} relayouts of every (B,T,512) tensor cost ~0.7 ms of
+      a ~4.5 ms train step (profiled); the all-dots graph keeps one layout
+      end to end and is 16% faster per step despite a slower lone conv.
 
     Runs uniformly in the weight dtype (bf16 feeds the MXU at 2× rate; the
-    MXU still accumulates in f32 internally).  No preferred_element_type:
-    mixed-dtype convs break the VJP transpose rule on this JAX version.
+    MXU still accumulates in f32 internally).
     """
     k, cin, cout = w.shape
     x = x.astype(w.dtype)
+    t = x.shape[1]
+    left = (k - 1) // 2 * dilation
+    right = (k - 1) * dilation - left
+    if k == 1:
+        return jnp.dot(x, w[0])
+    xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
     if k * cin <= 160:
-        t = x.shape[1]
-        left = (k - 1) // 2 * dilation
-        right = (k - 1) * dilation - left
-        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
         pieces = [xp[:, j * dilation: j * dilation + t] for j in range(k)]
         xu = jnp.concatenate(pieces, axis=-1)          # (B, T, k·Cin)
         return jnp.dot(xu, w.reshape(k * cin, cout))
-    return jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding="SAME",
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"))
+    out = None
+    for j in range(k):
+        term = jnp.dot(xp[:, j * dilation: j * dilation + t], w[j])
+        out = term if out is None else out + term
+    return out
 
 
 def _affine(x, w, b, compute_dtype):

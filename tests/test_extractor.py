@@ -104,3 +104,23 @@ def test_speaker_means():
     means, counts = speaker_means(xv, u2s)
     np.testing.assert_allclose(means["a"], 2 * np.ones(4))
     assert counts == {"a": 2, "b": 1}
+
+
+def test_scan_dispatch_path_matches(model):
+    """Enough same-bucket chunks to trigger the multi-batch scanned
+    dispatch; results must match the per-batch path exactly."""
+    cfg, params, state = model
+    rng = np.random.RandomState(9)
+    utts = {f"u{i}": rng.randn(90, 23).astype(np.float32)
+            for i in range(24)}   # 24 chunks, batch 4, depth 2 → 3 scans
+    common = dict(min_chunk=25, max_chunk=100, batch_size=4,
+                  buckets=(128,))
+    scan_ex = XvectorExtractor(cfg, params, state,
+                               ExtractorConfig(dispatch_depth=2, **common))
+    solo_ex = XvectorExtractor(cfg, params, state,
+                               ExtractorConfig(dispatch_depth=1, **common))
+    a = scan_ex.extract(utts.items())
+    b = solo_ex.extract(utts.items())
+    assert set(a) == set(utts)
+    for k in utts:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-5)

@@ -48,6 +48,9 @@ class ExtractorConfig:
     buckets: Tuple[int, ...] = (32, 64, 128, 192, 256, 384, 512, 768, 1024,
                                 1536, 2048, 3072, 4096, 6144, 8192, 10016)
     compute_dtype: str = "float32"
+    # full batches of one bucket shape scanned per device dispatch — host
+    # dispatch costs dwarf the forward on dispatch-expensive transports
+    dispatch_depth: int = 4
 
 
 def preprocess(feats: np.ndarray, cmvn_window: int = 300,
@@ -68,11 +71,20 @@ class XvectorExtractor:
         self.state = state
         self.cfg = cfg
         self._fwd = jax.jit(self._forward, static_argnames=())
+        self._fwd_scan = jax.jit(self._forward_scan)
 
     def _forward(self, x, mask):
         return tdnn.extract_xvector(
             self.model_cfg, self.params, self.state, x, mask=mask,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype))
+
+    def _forward_scan(self, xs, masks):
+        """(D, B, T, F) stacked batches → (D, B, E) in one dispatch."""
+        def body(c, inp):
+            x, m = inp
+            return c, self._forward(x, m)
+        _, out = jax.lax.scan(body, 0, (xs, masks))
+        return out
 
     # -- chunking ---------------------------------------------------------
     def _chunks(self, num_rows: int) -> List[Tuple[int, int]]:
@@ -107,22 +119,55 @@ class XvectorExtractor:
         pend_left: Dict[str, int] = {}
         order: List[str] = []
         buckets: Dict[int, List[Tuple[str, np.ndarray, int]]] = {}
+        # full (x, mask, items) batches awaiting a scan dispatch, per bucket
+        staged: Dict[int, List] = {}
 
-        def run_bucket(b: int):
-            items = buckets.pop(b, [])
-            if not items:
-                return
+        def credit(items, xv):
+            for i, (utt, _, ln) in enumerate(items):
+                pend_sum[utt] = pend_sum.get(utt, 0.0) + ln * xv[i]
+                pend_weight[utt] = pend_weight.get(utt, 0.0) + ln
+                pend_left[utt] -= 1
+
+        def pack(b: int, items):
             n = len(items)
             x = np.zeros((n, b, feat_dim), np.float32)
             mask = np.zeros((n, b), np.float32)
             for i, (_, rows, ln) in enumerate(items):
                 x[i, :ln] = rows
                 mask[i, :ln] = 1.0
-            xv = np.asarray(self._fwd(jnp.asarray(x), jnp.asarray(mask)))
-            for i, (utt, _, ln) in enumerate(items):
-                pend_sum[utt] = pend_sum.get(utt, 0.0) + ln * xv[i]
-                pend_weight[utt] = pend_weight.get(utt, 0.0) + ln
-                pend_left[utt] -= 1
+            return x, mask
+
+        def dispatch_staged(b: int):
+            batches = staged.pop(b, [])
+            if not batches:
+                return
+            if len(batches) == 1:
+                x, mask, items = batches[0]
+                credit(items, np.asarray(
+                    self._fwd(jnp.asarray(x), jnp.asarray(mask))))
+                return
+            xs = np.stack([bb[0] for bb in batches])
+            masks = np.stack([bb[1] for bb in batches])
+            xvs = np.asarray(self._fwd_scan(jnp.asarray(xs),
+                                            jnp.asarray(masks)))
+            for d, (_, _, items) in enumerate(batches):
+                credit(items, xvs[d])
+
+        def run_bucket(b: int, final: bool = False):
+            items = buckets.pop(b, [])
+            if items:
+                if not final and len(items) >= self.cfg.batch_size:
+                    # full batch → stage for a scanned multi-batch dispatch
+                    x, mask = pack(b, items)
+                    staged.setdefault(b, []).append((x, mask, items))
+                    if len(staged[b]) >= self.cfg.dispatch_depth:
+                        dispatch_staged(b)
+                    return
+                x, mask = pack(b, items)
+                credit(items, np.asarray(
+                    self._fwd(jnp.asarray(x), jnp.asarray(mask))))
+            if final:
+                dispatch_staged(b)
 
         def drain_complete():
             while order and pend_left.get(order[0], 1) == 0:
@@ -145,8 +190,8 @@ class XvectorExtractor:
                 if len(buckets[b]) >= self.cfg.batch_size:
                     run_bucket(b)
                     yield from drain_complete()
-        for b in sorted(buckets):
-            run_bucket(b)
+        for b in sorted(set(buckets) | set(staged)):
+            run_bucket(b, final=True)
         yield from drain_complete()
 
     def extract(self, stream: Iterable[Tuple[str, np.ndarray]]

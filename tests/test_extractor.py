@@ -126,3 +126,24 @@ def test_scan_dispatch_path_matches(model):
         # scanned vs standalone compilation differ only in f32
         # reduction order
         np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-3)
+
+
+def test_attention_pooling_extraction():
+    """The attention-pooling variant extracts through the same bucketed
+    pipeline (its pooled dim differs from stats pooling)."""
+    from dataclasses import replace
+    cfg = replace(tdnn.MODEL_ZOO["l2_lrelu_attention"],
+                  channels=(8, 8, 8, 8, 16), embed_dims=(12, 12),
+                  feat_dim=23)
+    params, state = tdnn.init_params(jax.random.PRNGKey(5), cfg, 5)
+    ex = XvectorExtractor(cfg, params, state,
+                          ExtractorConfig(min_chunk=25, max_chunk=100,
+                                          batch_size=2, buckets=(64, 128)))
+    rng = np.random.RandomState(6)
+    a = rng.randn(60, 23).astype(np.float32)
+    b = rng.randn(110, 23).astype(np.float32)
+    got = ex.extract([("a", a), ("b", b)])
+    assert got["a"].shape == (12,)
+    # single-chunk utterance: must equal the direct unpadded forward
+    want = np.asarray(tdnn.extract_xvector(cfg, params, state, a[None]))[0]
+    np.testing.assert_allclose(got["a"], want, rtol=1e-3, atol=1e-3)

@@ -48,9 +48,11 @@ class ExtractorConfig:
     buckets: Tuple[int, ...] = (32, 64, 128, 192, 256, 384, 512, 768, 1024,
                                 1536, 2048, 3072, 4096, 6144, 8192, 10016)
     compute_dtype: str = "float32"
-    # full batches of one bucket shape scanned per device dispatch — host
-    # dispatch costs dwarf the forward on dispatch-expensive transports
-    dispatch_depth: int = 4
+    # full batches of one bucket shape scanned per device dispatch.
+    # >1 batches the per-dispatch sync at the cost of delaying results and
+    # an extra compilation per depth; measured on the tunnel-attached chip
+    # the host→device upload dominates either way, so the default stays 1.
+    dispatch_depth: int = 1
 
 
 def preprocess(feats: np.ndarray, cmvn_window: int = 300,

@@ -44,6 +44,10 @@ def get_args(argv=None):
                    help="optional spk2utt file; also writes speaker-mean "
                         "x-vectors + num_utts (ivector-mean parity, "
                         "extract_xvectors.sh:100-102)")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="utterance-level sharding for multi-process "
+                        "extraction (extract_xvectors.sh's nj-way split)")
+    p.add_argument("--shard", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -75,9 +79,12 @@ def main(argv=None):
                         batch_size=args.batch_size))
 
     def stream():
-        for utt, feats in kio.read_mat_ark(args.feats_rspecifier) \
-                if not args.feats_rspecifier.startswith("scp") \
-                else kio.read_mat_scp(args.feats_rspecifier):
+        reader = (kio.read_mat_scp(args.feats_rspecifier)
+                  if args.feats_rspecifier.startswith("scp")
+                  else kio.read_mat_ark(args.feats_rspecifier))
+        for i, (utt, feats) in enumerate(reader):
+            if args.num_shards > 1 and i % args.num_shards != args.shard:
+                continue
             if args.apply_cmvn or utt in vad:
                 feats = preprocess(feats, vad=vad.get(utt))
             yield utt, feats

@@ -54,7 +54,8 @@ def get_args(argv=None):
                         "are skipped automatically")
     p.add_argument("--egs-dir", required=True)
     p.add_argument("--dir", dest="work_dir", required=True)
-    p.add_argument("--feat-dim", type=int, default=23)
+    p.add_argument("--feat-dim", type=int, default=0,
+                   help="0 = infer from the first archive")
     return p.parse_args(argv)
 
 
@@ -82,6 +83,10 @@ def main(argv=None):
     paths = sorted(glob.glob(os.path.join(args.egs_dir, "egs.*.xta")))
     if not paths:
         sys.exit(f"no egs.*.xta archives in {args.egs_dir}")
+    feat_dim = args.feat_dim
+    if feat_dim <= 0:   # infer from the archive index (feat-to-dim parity)
+        with archlib.ArchiveReader(paths[0]) as r:
+            feat_dim = int(r.index[0]["shape"][2])
 
     def archive_batches(i):
         return archlib.PrefetchLoader(archlib.ArchiveReader(paths[i]))
@@ -92,7 +97,7 @@ def main(argv=None):
             return None
         return lambda: archlib.PrefetchLoader(archlib.ArchiveReader(p))
 
-    trainer = Trainer(cfg, args.work_dir, feat_dim=args.feat_dim)
+    trainer = Trainer(cfg, args.work_dir, feat_dim=feat_dim)
     final = trainer.train(archive_batches, len(paths),
                           valid_batches=diag("valid_egs.xta"),
                           train_subset_batches=diag("train_subset_egs.xta"),

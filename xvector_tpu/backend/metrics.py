@@ -6,7 +6,7 @@ reference never computes (BASELINE.md north star includes it).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,8 +14,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 from ..extract.extractor import ExtractorConfig, XvectorExtractor, preprocess
 from ..io import kaldi_ark as kio
 from ..models import tdnn

@@ -17,7 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -33,7 +33,6 @@ from ..io import kaldi_ark as kio
 from ..io.datadir import DataDir
 from ..models import tdnn
 from ..ops import features as featlib
-from ..train import checkpoints
 from ..train.trainer import TrainConfig, Trainer
 
 __all__ = ["RecipeConfig", "Recipe"]

@@ -30,8 +30,8 @@ from __future__ import annotations
 
 import random
 import re
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Tuple
 
 __all__ = ["ChunkSpec", "MinibatchPlan", "ArchivePlan", "AllocatorConfig",
            "allocate_archives", "base_utt"]

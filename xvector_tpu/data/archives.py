@@ -25,7 +25,6 @@ import os
 import queue
 import struct
 import threading
-from dataclasses import dataclass
 from typing import Callable, Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 from ..io.datadir import DataDir
 

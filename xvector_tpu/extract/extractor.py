@@ -23,7 +23,6 @@ unchanged external PLDA back-end, or the native one in
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 

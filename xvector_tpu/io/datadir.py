@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import random
 from dataclasses import dataclass, field, replace
-from typing import Dict, Iterable, List, Sequence
+from typing import Dict, Iterable, List
 
 __all__ = ["DataDir", "load_data_dir"]
 

@@ -31,7 +31,7 @@ embed/output layers with 0.1× on embed-0 (models.py:811-832).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -20,11 +20,9 @@ extractor when enabled; a pure-XLA fallback keeps CPU/test parity.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -9,7 +9,7 @@ reimplementation) can consume the checkpoint without JAX.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 

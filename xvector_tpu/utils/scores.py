@@ -15,8 +15,7 @@
 from __future__ import annotations
 
 import json
-import os
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 __all__ = ["kaldi_scores_to_nist_tsv", "generate_report"]
 

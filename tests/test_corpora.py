@@ -73,6 +73,33 @@ def test_make_sre16_unlabeled(tmp_path):
     assert all(u == s for u, s in dd.utt2spk.items())
 
 
+def test_make_sre18(tmp_path):
+    docs = tmp_path / "docs"
+    os.makedirs(docs)
+    (docs / "sre18_dev_enrollment.tsv").write_text(
+        "modelid\tsegmentid\tside\n"
+        "m1\tsegA.sph\ta\nm1\tsegB.flac\ta\nm2\tsegC.sph\ta\n")
+    (docs / "sre18_dev_trial_key.tsv").write_text(
+        "modelid\tsegmentid\tside\ttargettype\n"
+        "m1\tsegT1.sph\ta\ttarget\nm2\tsegT1.sph\ta\tnontarget\n")
+    for seg, ext in (("segA", "sph"), ("segB", "flac"), ("segC", "wav")):
+        _touch(str(tmp_path / "data" / "enrollment" / f"{seg}.{ext}"))
+    _touch(str(tmp_path / "data" / "test" / "segT1.sph"))
+    _touch(str(tmp_path / "data" / "unlabeled" / "segU1.sph"))
+    out = C.make_sre18(str(tmp_path), "dev")
+    enroll, test = out["enroll"], out["test"]
+    assert len(enroll) == 3
+    assert enroll.utt2spk["m1-segA"] == "m1"
+    # flac routes through an ffmpeg decode pipe, sph stays a direct path
+    assert enroll.wav["m1-segB"].startswith("ffmpeg")
+    assert enroll.wav["m1-segB"].endswith("|")
+    assert enroll.wav["m1-segA"].endswith("segA.sph")
+    assert enroll.wav["m2-segC"].endswith("segC.wav")   # wav stays native
+    assert test.utt2spk["segT1"] == "segT1"
+    assert out["trials"] == [("m1", "segT1", 1), ("m2", "segT1", 0)]
+    assert len(out["unlabeled"]) == 1
+
+
 def test_load_trials(tmp_path):
     p = tmp_path / "trials"
     p.write_text("spk1 segA target\nspk1 segB nontarget\nspk2 segA target\n")

@@ -11,7 +11,18 @@ from xvector_tpu.models import tdnn
 from xvector_tpu.models.blocks import flip_gradient, selu, zrelu
 from xvector_tpu.utils.export import export_h5, import_h5
 from xvector_tpu.utils.scores import (generate_report,
-                                      kaldi_scores_to_nist_tsv)
+                                      kaldi_scores_to_nist_tsv,
+                                      partition_trials)
+
+
+def test_partition_trials_by_language():
+    trials = [("m1", "t1", 1), ("m1", "t2", 0), ("m2", "t3", 1),
+              ("m2", "t9", 0)]
+    utt2lang = {"t1": "tgl", "t2": "yue", "t3": "tgl"}
+    parts = partition_trials(trials, utt2lang)
+    assert [t[1] for t in parts["tgl"]] == ["t1", "t3"]
+    assert parts["yue"] == [("m1", "t2", 0)]
+    assert parts["unknown"] == [("m2", "t9", 0)]
 
 
 def test_score_conversion_basic():

@@ -17,6 +17,9 @@ Builders:
   test segments, sph decode, language/gender maps)
 * :func:`make_sre16_unlabeled` — major-language unlabeled set
   (``local/make_sre16_unlabeled.pl``)
+* :func:`make_sre18` — NIST SRE18 dev/eval enrollment + test + unlabeled
+  partitions with trial keys (reference ``local/make_sre18_dev.py:64-175``
+  and ``local/make_sre18_eval.py``)
 * :func:`make_speaker_tree` — generic ``root/<spk>/.../file.wav`` layouts
   (VoxCeleb-style) covering the swbd/mx6-style "one dir per speaker"
   pattern
@@ -32,7 +35,8 @@ from typing import Dict, Iterable, List, Optional, Tuple
 from ..io.datadir import DataDir
 
 __all__ = ["make_musan", "make_rirs", "make_sre16_eval",
-           "make_sre16_unlabeled", "make_speaker_tree", "make_from_table"]
+           "make_sre16_unlabeled", "make_sre18", "make_speaker_tree",
+           "make_from_table"]
 
 _AUDIO_EXT = (".wav", ".sph", ".flac")
 
@@ -147,6 +151,71 @@ def make_sre16_unlabeled(root: str) -> DataDir:
     rows = [(_utt_id(p), _utt_id(p), _sph_pipe(p))
             for p in _walk_audio(adir)]
     return make_from_table(rows)
+
+
+def _sre18_audio_spec(path: str, sampling_frequency: str = "8k") -> str:
+    """SRE18 audio entry: .sph/.wav decode natively; .flac (the VAST
+    portion) goes through an ffmpeg resample pipe exactly as the reference
+    builds it (make_sre18_dev.py:51-61)."""
+    if not path.endswith(".flac"):
+        return path
+    rate = 8000 if sampling_frequency == "8k" else 16000
+    return f"ffmpeg -v 0 -i {path} -f wav -ar {rate} - |"
+
+
+def make_sre18(root: str, partition: str = "dev",
+               sampling_frequency: str = "8k"
+               ) -> Dict[str, object]:
+    """NIST SRE18 ``dev``/``eval`` → dict with DataDirs ``enroll``,
+    ``test``, (dev only) ``unlabeled``, plus ``trials`` rows.
+
+    Mirrors ``local/make_sre18_dev.py:64-175`` / ``make_sre18_eval.py``:
+    enrollment utts are ``<modelid>-<segment>`` keyed to the model id as
+    speaker (docs/sre18_<p>_enrollment.tsv); test utts are their own
+    speaker; the trial key (docs/sre18_<p>_trial_key.tsv, columns
+    modelid/segmentid/.../targettype) becomes (enroll, test, label) rows.
+    CMN2 .sph segments decode natively; VAST .flac goes via ffmpeg pipe.
+    """
+    docs = os.path.join(root, "docs")
+
+    def read_tsv(name):
+        p = os.path.join(docs, name)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return list(csv.DictReader(f, delimiter="\t"))
+
+    def audio_index(sub):
+        return {_utt_id(p): p
+                for p in _walk_audio(os.path.join(root, "data", sub))}
+
+    enroll_audio = audio_index("enrollment")
+    enroll_rows = []
+    for r in read_tsv(f"sre18_{partition}_enrollment.tsv"):
+        seg = r["segmentid"].split(".")[0]
+        if seg in enroll_audio:
+            enroll_rows.append(
+                (f"{r['modelid']}-{seg}", r["modelid"],
+                 _sre18_audio_spec(enroll_audio[seg], sampling_frequency)))
+
+    test_rows = [(seg, seg, _sre18_audio_spec(p, sampling_frequency))
+                 for seg, p in sorted(audio_index("test").items())]
+
+    trials = []
+    for r in read_tsv(f"sre18_{partition}_trial_key.tsv"):
+        seg = r["segmentid"].split(".")[0]
+        label = 1 if r.get("targettype") == "target" else 0
+        trials.append((r["modelid"], seg, label))
+
+    out: Dict[str, object] = {"enroll": make_from_table(enroll_rows),
+                              "test": make_from_table(test_rows),
+                              "trials": trials}
+    unlabeled_dir = os.path.join(root, "data", "unlabeled")
+    if os.path.isdir(unlabeled_dir):
+        out["unlabeled"] = make_from_table(
+            [(seg, seg, _sre18_audio_spec(p, sampling_frequency))
+             for seg, p in sorted(audio_index("unlabeled").items())])
+    return out
 
 
 def make_call_corpus(audio_root: str,

@@ -17,7 +17,25 @@ from __future__ import annotations
 import json
 from typing import Dict, Iterable, List, Tuple
 
-__all__ = ["kaldi_scores_to_nist_tsv", "generate_report"]
+__all__ = ["kaldi_scores_to_nist_tsv", "generate_report",
+           "partition_trials"]
+
+
+def partition_trials(trials: Iterable[Tuple[str, str, int]],
+                     utt2cond: Dict[str, str]
+                     ) -> Dict[str, List[Tuple[str, str, int]]]:
+    """Group trials by the test segment's condition.
+
+    The reference computes per-language EERs by filtering the trial list on
+    the eval set's ``utt2lang`` (Tagalog/Cantonese splits,
+    ``run.sh:289-294,309-312``); this is that filter as a typed operation.
+    Trials whose test segment has no condition go under ``"unknown"``.
+    """
+    out: Dict[str, List[Tuple[str, str, int]]] = {}
+    for enroll, test, label in trials:
+        out.setdefault(utt2cond.get(test, "unknown"), []).append(
+            (enroll, test, label))
+    return out
 
 
 def kaldi_scores_to_nist_tsv(

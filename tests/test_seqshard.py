@@ -60,6 +60,24 @@ def test_dilated_topology(model):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_attention_pooling_online_softmax(model):
+    """Attention pooling sharded over time == full-sequence softmax."""
+    from dataclasses import replace
+    cfg = tdnn.MODEL_ZOO["l2_lrelu_attention"]
+    cfg = replace(cfg, channels=(8, 8, 8, 8, 48), embed_dims=(16, 16))
+    params, state = tdnn.init_params(jax.random.PRNGKey(5), cfg, 5)
+    mesh = meshlib.make_mesh(data=8, model=1)
+    rng = np.random.RandomState(6)
+    valid = 750
+    x = np.zeros((800, cfg.feat_dim), np.float32)
+    x[:valid] = rng.randn(valid, cfg.feat_dim)
+    want = np.asarray(tdnn.extract_xvector(
+        cfg, params, state, x[None, :valid]))[0]
+    got = np.asarray(seq_sharded_xvector(cfg, params, state, x, mesh,
+                                         valid_len=valid))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_rejects_indivisible(model):
     cfg, params, state = model
     mesh = meshlib.make_mesh(data=8, model=1)

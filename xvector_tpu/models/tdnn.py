@@ -210,7 +210,9 @@ def _activate(cfg: TdnnConfig, layer: Params, x):
     if cfg.activation == "lrelu":
         return jax.nn.leaky_relu(x, cfg.lrelu_alpha)
     if cfg.activation == "prelu":
-        alpha = layer["alpha"]
+        # keep the activation in x's dtype: a f32 alpha would promote the
+        # whole (B, T, C) tensor and double its fwd+bwd HBM traffic
+        alpha = layer["alpha"].astype(x.dtype)
         return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
     raise ValueError(cfg.activation)
 
@@ -406,8 +408,11 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
     if m is not None:
         h = h * m.astype(h.dtype)  # zero pad frames (SAME-style padding)
     for i, layer in enumerate(params["frame"]):
+        # bias in the compute dtype: a f32 bias would promote every
+        # (B, T, C) activation to f32, doubling its HBM traffic through
+        # the forward AND the saved-residual reads of the backward
         h = _conv1d_same(h, layer["w"].astype(compute_dtype),
-                         cfg.dilations[i]) + layer["b"]
+                         cfg.dilations[i]) + layer["b"].astype(compute_dtype)
         h = _activate(cfg, layer, h)
         h, bn_s = _batch_norm(h, layer["bn"], state["frame"][i], m,
                               train, cfg, stats_out=bn_stats_out)
@@ -470,7 +475,7 @@ def frame_stack(cfg: TdnnConfig, params: Params, state: State, x,
         h = h * m.astype(h.dtype)
     for i, layer in enumerate(params["frame"]):
         h = _conv1d_same(h, layer["w"].astype(compute_dtype),
-                         cfg.dilations[i]) + layer["b"]
+                         cfg.dilations[i]) + layer["b"].astype(compute_dtype)
         h = _activate(cfg, layer, h)
         h, _ = _batch_norm(h, layer["bn"], state["frame"][i], m, False, cfg)
         if m is not None:

@@ -11,7 +11,11 @@ distribute (SURVEY §5): the frame-level layers are local convolutions
     neighbour frames exchanged via ``lax.ppermute`` (7 frames each side
     for every stock topology);
   * pooling moments are psum'd across shards — bit-comparable to the
-    single-device computation over the full sequence.
+    single-device computation over the full sequence;
+  * the attention-pooling topology (``models.py:1039-1051``) runs its
+    time-axis softmax ONLINE across shards (pmax for the global max,
+    psum'd exp-sums and weighted moments) — the blockwise-softmax case
+    SURVEY §5 calls out for long sequences.
 
 This yields the TRUE x-vector of arbitrarily long utterances (memory per
 chip stays O(T / n_shards)) instead of the reference's chunk-and-average.
@@ -58,8 +62,8 @@ def seq_sharded_xvector(cfg: tdnn.TdnnConfig, params, state, x,
     x: (T, feat_dim) with T divisible by the axis size (pad with zeros and
     pass ``valid_len``).  Returns (xvector_dim,) f32.
     """
-    if cfg.pooling != "stats":
-        raise ValueError("sequence sharding implemented for stats pooling")
+    if cfg.pooling not in ("stats", "attention"):
+        raise ValueError(f"unknown pooling {cfg.pooling!r}")
     halo = sum((k - 1) // 2 * d
                for k, d in zip(cfg.kernel_sizes, cfg.dilations))
     t_total = x.shape[0]
@@ -86,13 +90,30 @@ def seq_sharded_xvector(cfg: tdnn.TdnnConfig, params, state, x,
         mm = hm[None, :, 0]
         hh = tdnn.frame_stack(cfg, params, state, hh, mm)
         hh = hh[0, halo: halo + t_local]
-        # masked global moments via psum
         m = mask
-        count = jax.lax.psum(jnp.sum(m), axis)
-        s1 = jax.lax.psum(jnp.sum(hh * m, axis=0), axis)
-        s2 = jax.lax.psum(jnp.sum(jnp.square(hh) * m, axis=0), axis)
-        mean = s1 / count
-        var = s2 / count - jnp.square(mean)
+        if cfg.pooling == "attention":
+            # online softmax over the sharded time axis: global max via
+            # pmax, then psum'd exp-sums — numerically identical to the
+            # full-sequence softmax (models.py:1039-1051)
+            att = params["attention"]
+            half = hh.shape[-1] // 2
+            h1, h2 = hh[:, :half], hh[:, half:]
+            scores = jnp.tanh(h1 @ att["w"] + att["b"]) @ att["v"]  # (t,)
+            scores = jnp.where(m[:, 0] > 0, scores, -1e30)
+            g_max = jax.lax.pmax(jnp.max(scores), axis)
+            e = jnp.exp(scores - g_max) * m[:, 0]
+            denom = jax.lax.psum(jnp.sum(e), axis)
+            s1 = jax.lax.psum(e @ h2, axis)
+            s2 = jax.lax.psum(e @ jnp.square(h2), axis)
+            mean = s1 / denom
+            var = s2 / denom - jnp.square(mean)
+        else:
+            # masked global moments via psum
+            count = jax.lax.psum(jnp.sum(m), axis)
+            s1 = jax.lax.psum(jnp.sum(hh * m, axis=0), axis)
+            s2 = jax.lax.psum(jnp.sum(jnp.square(hh) * m, axis=0), axis)
+            mean = s1 / count
+            var = s2 / count - jnp.square(mean)
         pooled = jnp.concatenate(
             [mean, jnp.sqrt(jnp.maximum(var, 0.0) + tdnn.VAR2STD_EPSILON)])
         e0 = params["embed"][0]

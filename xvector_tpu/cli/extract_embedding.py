@@ -46,6 +46,11 @@ def get_args(argv=None):
                    help="utterance-level sharding for multi-process "
                         "extraction (extract_xvectors.sh's nj-way split)")
     p.add_argument("--shard", type=int, default=0)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="forward compute dtype; bf16 feeds the MXU at 2x "
+                        "the f32 rate (f32 'matmuls' on TPU run as bf16 "
+                        "passes anyway unless precision=HIGHEST)")
     return p.parse_args(argv)
 
 
@@ -74,7 +79,8 @@ def main(argv=None):
         trainer.model_cfg, trainer.params, trainer.state,
         ExtractorConfig(min_chunk=args.min_chunk_size,
                         max_chunk=args.chunk_size,
-                        batch_size=args.batch_size))
+                        batch_size=args.batch_size,
+                        compute_dtype=args.compute_dtype))
 
     def stream():
         reader = (kio.read_mat_scp(args.feats_rspecifier)

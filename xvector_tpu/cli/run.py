@@ -413,7 +413,7 @@ def main(argv=None):
                           compute_dtype=args.compute_dtype),
         extractor=ExtractorConfig(
             min_chunk=25, max_chunk=max(400, args.max_chunk),
-            batch_size=8),
+            batch_size=8, compute_dtype=args.compute_dtype),
         lda_dim=args.lda_dim)
     recipe = Recipe(cfg)
 

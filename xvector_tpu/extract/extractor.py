@@ -46,6 +46,9 @@ class ExtractorConfig:
     # spacing bounds padding waste at ~2x worst case, ~25% typical
     buckets: Tuple[int, ...] = (32, 64, 128, 192, 256, 384, 512, 768, 1024,
                                 1536, 2048, 3072, 4096, 6144, 8192, 10016)
+    # library default stays f32 for exact CPU-reference parity in tests;
+    # the CLIs pass bfloat16 (the TPU production setting: 2x MXU rate,
+    # and f32 matmuls run as bf16 passes on TPU anyway)
     compute_dtype: str = "float32"
     # full batches of one bucket shape scanned per device dispatch.
     # >1 batches the per-dispatch sync at the cost of delaying results and

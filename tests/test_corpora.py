@@ -152,6 +152,219 @@ def test_load_callers_csv(tmp_path):
     assert C.load_callers_csv(str(p2)) == [("sw9", "B", "s7")]
 
 
+def test_make_swbd_cellular(tmp_path):
+    for conv in ("40000", "40019", "40021"):
+        _touch(str(tmp_path / "data" / "audio" / f"sw_{conv}.sph"))
+    os.makedirs(tmp_path / "doc")
+    (tmp_path / "doc" / "swb_callstats.tbl").write_text(
+        "40000,1001,1002,M,F\n"
+        "40019,1003,1004,M,M\n"        # bad audio in part 1
+        "40021,1001,1005,M,F\n"
+        "40099,1006,1007,F,F\n")       # sph missing
+    dd = C.make_swbd_cellular(str(tmp_path), version=1)
+    assert len(dd) == 4                # 2 convs × 2 sides
+    assert dd.utt2spk["sw_1001-swbdc_sw_40000_1"] == "sw_1001"
+    assert dd.wav["sw_1002-swbdc_sw_40000_2"].endswith("sw_40000.sph#ch1")
+    assert dd.spk2gender == {"sw_1001": "m", "sw_1002": "f", "sw_1005": "f"}
+    # part 2: docs/ directory and a different bad-audio list
+    os.makedirs(tmp_path / "docs")
+    os.rename(tmp_path / "doc" / "swb_callstats.tbl",
+              tmp_path / "docs" / "swb_callstats.tbl")
+    dd2 = C.make_swbd_cellular(str(tmp_path), version=2)
+    assert len(dd2) == 6               # 40019 allowed in part 2
+    assert "sw_1003-swbdc_sw_40019_1" in dd2.utt2spk
+
+
+def test_make_swbd2_phases(tmp_path):
+    def layout(base, doc_name, callstat, callinfo=None):
+        root = tmp_path / base
+        for fid in ("sw_2001", "sw_2002"):
+            _touch(str(root / "data" / "audio" / f"{fid}.sph"))
+        os.makedirs(root / doc_name)
+        (root / doc_name / "callstat.tbl").write_text(callstat)
+        if callinfo is not None:
+            (root / doc_name / "callinfo.tbl").write_text(callinfo)
+        return str(root)
+
+    # phase 1: file id in col 0 (with extension), genders in cols 5/6
+    r1 = layout("p1", "doc",
+                "sw_2001.sph,x,301,302,x,M,F\n"
+                "sw_2002.sph,x,303,304,x,F,M\n")
+    d1 = C.make_swbd2_phase(r1, 1)
+    assert len(d1) == 4
+    assert d1.utt2spk["sw_301_sw_2001_1"] == "sw_301"
+    assert d1.wav["sw_302_sw_2001_2"].endswith("sw_2001.sph#ch1")
+    assert d1.spk2gender["sw_304"] == "m"
+
+    # phase 2: file ids live in callinfo.tbl (2 rows per call)
+    r2 = layout("p2", "doc",
+                "x,x,311,312,M,F\n"
+                "x,x,313,314,F,M\n",
+                callinfo=("sw_2001,a\nsw_2001,b\n"
+                          "sw_2002,a\nsw_2002,b\n"))
+    d2 = C.make_swbd2_phase(r2, 2)
+    assert len(d2) == 4
+    assert d2.utt2spk["sw_311_sw_2001_1"] == "sw_311"
+    assert d2.spk2gender["sw_312"] == "f"
+
+    # phase 3: docs/, bare conv number in col 0, speakers in cols 3/4
+    r3 = layout("p3", "docs",
+                "2001,x,x,321,322,M,F\n"
+                "2002,x,x,323,324,F,M\n")
+    d3 = C.make_swbd2_phase(r3, 3)
+    assert len(d3) == 4
+    assert d3.utt2spk["sw_321_sw_2001_1"] == "sw_321"
+    assert d3.wav["sw_324_sw_2002_2"].endswith("sw_2002.sph#ch1")
+
+
+def _mx6_layout(tmp_path):
+    docs = tmp_path / "docs"
+    os.makedirs(docs, exist_ok=True)
+    (docs / "mx6_subjs.csv").write_text(
+        "subjid,sex\n9001,M\n9002,F\n9003,M\n9004,F\n")
+    (docs / "mx6_calls.csv").write_text(
+        "call_id,date_time,a,b,9001,c,d,e,f,g,h,i,9002\n"
+        "777,20100101_120000,a,b,9003,c,d,e,f,g,h,i,9004\n")
+    _touch(str(tmp_path / "data" / "ulaw_sphere" /
+               "20100101_120000_777_A.sph"))
+    iv_rows = []
+    for i, spk in enumerate(("9001", "9002")):
+        base = f"2010010{i}_13000{i}_LDC_{spk}"
+        iv_rows.append(f"{base},a,b,c,d,e,f,12.5,300.0")
+        for ch in ("02", "05"):
+            _touch(str(tmp_path / "data" / "pcm_flac" / f"CH{ch}" /
+                       f"{base}_CH{ch}.flac"))
+    (docs / "mx6_ivcomponents.csv").write_text("\n".join(iv_rows) + "\n")
+    return tmp_path
+
+
+def test_make_mx6_calls(tmp_path):
+    _mx6_layout(tmp_path)
+    dd = C.make_mx6_calls(str(tmp_path))
+    # header row's call id has no sphere file; call 777 resolves
+    assert sorted(dd.utt2spk) == ["9003_MX6_777_A", "9004_MX6_777_B"]
+    assert dd.wav["9003_MX6_777_A"].endswith("#ch0")
+    assert dd.spk2gender == {"9003": "m", "9004": "f"}
+
+
+def test_make_mx6_mic(tmp_path):
+    _mx6_layout(tmp_path)
+    dd = C.make_mx6_mic(str(tmp_path), "02")
+    assert len(dd) == 2
+    utt = "9001_MX6_20100100_130000_02"
+    assert dd.utt2spk[utt] == "9001"
+    # sox decode pipe resamples to 8k and trims to the interview segment
+    assert dd.wav[utt].startswith("sox -t flac")
+    assert "trim 12.5 =300.0" in dd.wav[utt]
+    assert dd.wav[utt].endswith("|")
+    with pytest.raises(ValueError):
+        C.make_mx6_mic(str(tmp_path), "01")    # interviewer lapel mic
+
+
+def test_make_mx6_combined(tmp_path):
+    _mx6_layout(tmp_path)
+    out = C.make_mx6(str(tmp_path), mic_subset=1)
+    # all of mic 02 (2 utts) + 1 sampled from mics 04-13 (here CH05)
+    assert len(out["mic"]) == 3
+    assert len(out["calls"]) == 2
+    assert len(out["all"]) == 5
+    assert out["all"].spk2gender["9001"] == "m"
+
+
+def _sre_speaker_list(tmp_path):
+    p = tmp_path / "speaker_list"
+    p.write_text("spk1 f sre2004 xaaa A\n"
+                 "spk2 m sre2004 xaaa B\n"
+                 "spk1 f sre2005 xbbb A\n"
+                 "spk3 m sre2004 missing A\n")
+    return str(p)
+
+
+def test_make_sre(tmp_path):
+    ref = _sre_speaker_list(tmp_path)
+    _touch(str(tmp_path / "c04" / "deep" / "xaaa.sph"))
+    dd = C.make_sre(str(tmp_path / "c04"), "04", ref)
+    assert sorted(dd.utt2spk) == ["spk1-sre04-xaaa-a", "spk2-sre04-xaaa-b"]
+    assert dd.wav["spk2-sre04-xaaa-b"].endswith("xaaa.sph#ch1")
+    assert dd.spk2gender == {"spk1": "f", "spk2": "m"}
+
+
+def test_make_sre_04_to_06(tmp_path):
+    ref = _sre_speaker_list(tmp_path)
+    root = tmp_path / "corpora"
+    _touch(str(root / "NIST" / "sre04" / "xaaa.sph"))
+    _touch(str(root / "NIST" / "sre05" / "r101_1_1" / "train" / "xbbb.sph"))
+    out = C.make_sre_04_to_06(str(root), ref)
+    assert set(out) == {"sre2004", "sre2005_train"}   # others missing
+    assert len(out["sre2004"]) == 2
+    assert out["sre2005_train"].utts == ["spk1-sre05-xbbb-a"]
+
+
+def test_make_sre08(tmp_path):
+    key_root, test_root, train_root = (tmp_path / "key", tmp_path / "test",
+                                       tmp_path / "train")
+    keys = key_root / "NIST_SRE08_KEYS.v0.1"
+    os.makedirs(keys / "model-keys")
+    os.makedirs(keys / "trial-keys")
+    (keys / "model-keys" / "NIST_SRE08_short2.model.key").write_text(
+        "m100,f,segE1:a,sid7\n"
+        "m101,m,segE2:b,sid8\n")
+    (keys / "trial-keys" / "NIST_SRE08_short2-short3.trial.key").write_text(
+        "m100,segT1,a,target\n"
+        "m100,segT2,b,nontarget\n"
+        "m101,segT2,a,target\n")
+    _touch(str(train_root / "data" / "segE1.sph"))
+    _touch(str(train_root / "data" / "segE2.sph"))
+    _touch(str(test_root / "data" / "segT1.sph"))
+    _touch(str(test_root / "data" / "segT2.sph"))
+    dd = C.make_sre08(str(key_root), str(test_root), str(train_root))
+    assert sorted(dd.utt2spk) == [
+        "sid7_SRE08_segE1_A", "sid7_SRE08_segT1_A",
+        "sid8_SRE08_segE2_B", "sid8_SRE08_segT2_A"]
+    assert dd.utt2spk["sid7_SRE08_segT1_A"] == "sid7"
+    assert dd.wav["sid8_SRE08_segE2_B"].endswith("segE2.sph#ch1")
+    assert dd.spk2gender == {"sid7": "f", "sid8": "m"}
+
+
+def test_make_sre10(tmp_path):
+    root = tmp_path
+    _touch(str(root / "data" / "segE1.sph"))
+    _touch(str(root / "data" / "segT1.sph"))
+    _touch(str(root / "data" / "16k" / "segT1.sph"))   # excluded duplicate
+    os.makedirs(root / "keys")
+    os.makedirs(root / "train")
+    (root / "keys" / "coreext.modelkey.csv").write_text(
+        "m200,sid10\nm201,NOT_SCORED\n")
+    (root / "train" / "coreext.trn").write_text(
+        "m200 f a/b/segE1.sph:A\n"
+        "m201 m a/b/segE1.sph:B\n")
+    (root / "keys" / "coreext-coreext.trialkey.csv").write_text(
+        "m200,segT1,a,target,x\n"
+        "m200,segT1,b,nontarget,x\n")
+    dd = C.make_sre10(str(root))
+    assert sorted(dd.utt2spk) == ["sid10_SRE10_segE1_A",
+                                  "sid10_SRE10_segT1_A"]
+    assert dd.spk2gender == {"sid10": "f"}
+    assert "16k" not in dd.wav["sid10_SRE10_segT1_A"]
+
+
+def test_spk2gender_roundtrip(tmp_path):
+    from xvector_tpu.io.datadir import DataDir, load_data_dir
+    dd = DataDir(utt2spk={"a-1": "a", "b-1": "b"},
+                 wav={"a-1": "x.wav", "b-1": "y.wav"},
+                 spk2gender={"a": "m", "b": "f"})
+    path = str(tmp_path / "dd")
+    dd.save(path)
+    back = load_data_dir(path)
+    assert back.spk2gender == {"a": "m", "b": "f"}
+    # filtering drops genders of removed speakers; combine merges them
+    only_a = back.filter(["a-1"])
+    assert only_a.spk2gender == {"a": "m"}
+    assert only_a.combine(back.filter(["b-1"])).spk2gender == dd.spk2gender
+    assert back.map_speakers(lambda s: s.upper()).spk2gender == {
+        "A": "m", "B": "f"}
+
+
 def test_load_wave_channel_suffix(tmp_path):
     import struct
     import numpy as np

@@ -24,6 +24,17 @@ Builders:
   (VoxCeleb-style) covering the swbd/mx6-style "one dir per speaker"
   pattern
 * :func:`make_from_table` — fully generic: rows of (utt, spk, path)
+* :func:`make_swbd_cellular` — Switchboard Cellular 1/2 call sides from
+  ``swb_callstats.tbl`` (``local/make_swbd_cellular{1,2}_BUT.pl``)
+* :func:`make_swbd2_phase` — Switchboard-2 phases 1-3 from
+  ``callstat.tbl``/``callinfo.tbl`` (``local/make_swbd2_phase*_BUT.pl``)
+* :func:`make_mx6_calls` / :func:`make_mx6_mic` / :func:`make_mx6` —
+  Mixer 6 telephone + microphone portions
+  (``local/make_mx6_{calls,mic}_BUT.pl``, ``local/make_mx6_BUT.sh``)
+* :func:`make_sre` / :func:`make_sre_04_to_06` / :func:`make_sre08` /
+  :func:`make_sre10` — NIST SRE 2004-2010 training corpora keyed by the
+  openslr speaker list / NIST model+trial keys (``local/make_sre.pl``,
+  ``make_sre_BUT.sh``, ``make_sre08_BUT.pl``, ``make_sre10.pl``)
 """
 
 from __future__ import annotations
@@ -36,7 +47,9 @@ from ..io.datadir import DataDir
 
 __all__ = ["make_musan", "make_rirs", "make_sre16_eval",
            "make_sre16_unlabeled", "make_sre18", "make_speaker_tree",
-           "make_from_table"]
+           "make_from_table", "make_swbd_cellular", "make_swbd2_phase",
+           "make_mx6_calls", "make_mx6_mic", "make_mx6", "make_sre",
+           "make_sre_04_to_06", "make_sre08", "make_sre10"]
 
 _AUDIO_EXT = (".wav", ".sph", ".flac")
 
@@ -54,13 +67,16 @@ def _utt_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def make_from_table(rows: Iterable[Tuple[str, str, str]]) -> DataDir:
+def make_from_table(rows: Iterable[Tuple[str, str, str]],
+                    spk2gender: Optional[Dict[str, str]] = None) -> DataDir:
     """(utt, speaker, wav-path-or-pipe) rows → DataDir."""
     utt2spk, wav = {}, {}
     for utt, spk, path in rows:
         utt2spk[utt] = spk
         wav[utt] = path
-    return DataDir(utt2spk=utt2spk, wav=wav)
+    spks = set(utt2spk.values())
+    gender = {s: g for s, g in (spk2gender or {}).items() if s in spks}
+    return DataDir(utt2spk=utt2spk, wav=wav, spk2gender=gender)
 
 
 def make_speaker_tree(root: str, spk_depth: int = 1) -> DataDir:
@@ -264,6 +280,326 @@ def load_callers_csv(path: str, file_col: str = "file_id",
         for row in csv.DictReader(f, dialect=dialect):
             out.append((row[file_col], row[channel_col], row[speaker_col]))
     return out
+
+
+# ---- Switchboard two-channel telephone corpora -----------------------------
+
+def _sph_index(root: str) -> Dict[str, str]:
+    """basename (no extension) → path for every .sph under root (the
+    reference's ``find $db_base -name '*.sph'`` indexing pattern)."""
+    return {_utt_id(p): p for p in _walk_audio(root)
+            if p.lower().endswith(".sph")}
+
+
+def _two_sides(rows, gender, conv_key: str, path: str, spk1: str, spk2: str,
+               g1: str, g2: str, utt_fmt: str):
+    """Emit both call sides of a two-channel conversation. ``utt_fmt`` has
+    {spk}/{conv}/{side} slots; channels are 0-based in the ``#ch`` spec."""
+    for side, (spk, g) in enumerate(((spk1, g1), (spk2, g2))):
+        g = g.strip().lower()
+        if g not in ("m", "f"):
+            raise ValueError(f"unknown gender {g!r} for {conv_key}")
+        utt = utt_fmt.format(spk=spk, conv=conv_key, side=side + 1)
+        rows.append((utt, spk, f"{path}#ch{side}"))
+        gender.setdefault(spk, g)
+
+
+def make_swbd_cellular(root: str, version: int = 1) -> DataDir:
+    """Switchboard Cellular part 1 (LDC2001S13) / part 2 (LDC2004S07).
+
+    Parses ``doc(s)/swb_callstats.tbl`` rows
+    ``conv_id,spkA,spkB,genderA,genderB,...`` into the two call sides of
+    ``data/audio/sw_<conv>.sph``, utterances named
+    ``sw_<spk>-swbdc_sw_<conv>_<side>`` (reference
+    ``local/make_swbd_cellular1_BUT.pl:26-70``, ``..._cellular2_BUT.pl``;
+    part-specific bad-audio lists at their line 24)."""
+    doc = os.path.join(root, "doc" if version == 1 else "docs")
+    bad = {"40019", "45024", "40022"} if version == 1 else {"45024", "40022"}
+    audio = os.path.join(root, "data", "audio")
+    rows: List[Tuple[str, str, str]] = []
+    gender: Dict[str, str] = {}
+    with open(os.path.join(doc, "swb_callstats.tbl")) as f:
+        for line in f:
+            a = [t.strip() for t in line.strip().split(",")]
+            if len(a) < 5 or a[0] in bad:
+                continue
+            conv = "sw_" + a[0]
+            path = os.path.join(audio, conv + ".sph")
+            if not os.path.exists(path):
+                continue
+            _two_sides(rows, gender, conv, path,
+                       "sw_" + a[1], "sw_" + a[2], a[3], a[4],
+                       "{spk}-swbdc_{conv}_{side}")
+    return make_from_table(rows, gender)
+
+
+def make_swbd2_phase(root: str, phase: int) -> DataDir:
+    """Switchboard-2 phase 1 (LDC98S75) / 2 (LDC99S79) / 3 (LDC2002S06).
+
+    The three deliveries use different ``callstat.tbl`` column layouts and
+    (phase 2) a parallel ``callinfo.tbl`` carrying the file ids — exactly
+    the differences between ``local/make_swbd2_phase{1,2,3}_BUT.pl``.
+    Utterances: ``sw_<spk>_<file>_<side>``; sph files are located by a
+    recursive index so multi-disc layouts work."""
+    if phase not in (1, 2, 3):
+        raise ValueError("phase must be 1, 2 or 3")
+    doc = os.path.join(root, "docs" if phase == 3 else "doc")
+    sphs = _sph_index(root)
+    rows: List[Tuple[str, str, str]] = []
+    gender: Dict[str, str] = {}
+
+    def record_iter():
+        with open(os.path.join(doc, "callstat.tbl")) as f:
+            if phase == 2:
+                with open(os.path.join(doc, "callinfo.tbl")) as fi:
+                    info = fi.read().splitlines()
+                # callinfo has two lines (one per side) per callstat row;
+                # the file id is the first field of either
+                for i, line in enumerate(f):
+                    a = [t.strip() for t in line.split(",")]
+                    fid = info[2 * i + 1].split(",")[0].strip()
+                    yield fid, a[2], a[3], a[4], a[5]
+            else:
+                for line in f:
+                    a = [t.strip() for t in line.split(",")]
+                    if phase == 1:
+                        fid = a[0].split("/")[-1].split(".")[0]
+                        if fid in ("3", "4"):       # bad audio list
+                            continue
+                        yield fid, a[2], a[3], a[5], a[6]
+                    else:
+                        fid = "sw_" + a[0]
+                        yield fid, a[3], a[4], a[5], a[6]
+
+    for fid, s1, s2, g1, g2 in record_iter():
+        if fid not in sphs:
+            continue
+        _two_sides(rows, gender, fid, sphs[fid],
+                   "sw_" + s1, "sw_" + s2, g1, g2,
+                   "{spk}_{conv}_{side}")
+    return make_from_table(rows, gender)
+
+
+# ---- Mixer 6 (LDC2013S03) --------------------------------------------------
+
+def _mx6_genders(root: str) -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    with open(os.path.join(root, "docs", "mx6_subjs.csv")) as f:
+        for line in f:
+            toks = [t.strip() for t in line.split(",")]
+            if len(toks) >= 2 and toks[1].lower() in ("m", "f"):
+                out[toks[0]] = toks[1].lower()
+    return out
+
+
+def make_mx6_calls(root: str) -> DataDir:
+    """Mixer 6 telephone portion: ``docs/mx6_calls.csv`` rows assign call
+    sides A/B to subject ids; audio is ``data/ulaw_sphere/*_<call>.sph``
+    2-channel μ-law SPHERE. Utterances ``<sid>_MX6_<call>_<A|B>``
+    (reference ``local/make_mx6_calls_BUT.pl:42-88``)."""
+    gender = _mx6_genders(root)
+    call2sph = {}
+    for base, p in _sph_index(os.path.join(root, "data",
+                                           "ulaw_sphere")).items():
+        toks = base.split("_")
+        if len(toks) >= 3:
+            call2sph[toks[2]] = p
+    rows: List[Tuple[str, str, str]] = []
+    with open(os.path.join(root, "docs", "mx6_calls.csv")) as f:
+        for line in f:
+            toks = [t.strip() for t in line.split(",")]
+            if len(toks) < 13 or toks[0] not in call2sph:
+                continue
+            call_id, sph = toks[0], call2sph[toks[0]]
+            for ch, sid in ((0, toks[4]), (1, toks[12])):
+                side = "AB"[ch]
+                rows.append((f"{sid}_MX6_{call_id}_{side}", sid,
+                             f"{sph}#ch{ch}"))
+    return make_from_table(rows, gender)
+
+
+def make_mx6_mic(root: str, channel: str) -> DataDir:
+    """Mixer 6 interview speech from one room microphone, trimmed to the
+    interview segment and resampled to 8 kHz via a sox pipe (reference
+    ``local/make_mx6_mic_BUT.pl:38-74``). Channels 01 (interviewer lapel)
+    and often-silent 03/14 are rejected as in the reference."""
+    ch = f"{int(channel):02d}"
+    if ch in ("01", "03", "14"):
+        raise ValueError(f"mic channel {ch} is excluded (lapel/silent)")
+    gender = _mx6_genders(root)
+    flac_dir = os.path.join(root, "data", "pcm_flac", f"CH{ch}")
+    rows: List[Tuple[str, str, str]] = []
+    with open(os.path.join(root, "docs", "mx6_ivcomponents.csv")) as f:
+        for line in f:
+            toks = [t.strip() for t in line.split(",")]
+            if len(toks) < 9:
+                continue
+            base, t1, t2 = toks[0], toks[7], toks[8]
+            parts = base.split("_")
+            if len(parts) < 4:
+                continue
+            flac = os.path.join(flac_dir, f"{base}_CH{ch}.flac")
+            if not os.path.exists(flac):
+                continue
+            spk = parts[3]
+            utt = f"{spk}_MX6_{parts[0]}_{parts[1]}_{ch}"
+            rows.append((utt, spk,
+                         f"sox -t flac {flac} -r 8k -t wav - "
+                         f"trim {t1} ={t2} |"))
+    return make_from_table(rows, gender)
+
+
+def make_mx6(root: str, mic_subset: int = 2000,
+             seed: int = 0) -> Dict[str, DataDir]:
+    """Full Mixer 6 prep (reference ``local/make_mx6_BUT.sh``): mics
+    02 + a ``mic_subset``-utterance sample of mics 04-13 (channel
+    diversity without duplicating every room mic), plus the telephone
+    portion; ``all`` is their union."""
+    mics = ["02"] + [f"{m:02d}" for m in range(4, 14)]
+    per_mic = {m: make_mx6_mic(root, m) for m in mics}
+    rest = per_mic["04"].combine(*[per_mic[m] for m in mics[2:]])
+    mic = per_mic["02"].combine(rest.subset_utts(mic_subset, seed=seed))
+    calls = make_mx6_calls(root)
+    return {"mic": mic, "calls": calls, "all": mic.combine(calls)}
+
+
+# ---- NIST SRE 2004-2010 ----------------------------------------------------
+
+def make_sre(root: str, year: str, speaker_list: str) -> DataDir:
+    """One NIST SRE 04/05/06 partition keyed by the openslr ``speaker_list``
+    file (rows ``<speaker> <gender> sre20YY <utt_id> <A|B>``), matching
+    segments to .sph files found under ``root`` (reference
+    ``local/make_sre.pl:23-58``). Utterances
+    ``<spk>-sre<yy>-<utt>-<a|b>``."""
+    year = year[-2:]
+    sphs = _sph_index(root)
+    rows: List[Tuple[str, str, str]] = []
+    gender: Dict[str, str] = {}
+    with open(speaker_list) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < 5:
+                continue
+            spk, g, sre_year, utt_id, side = toks[:5]
+            if sre_year != f"sre20{year}" or utt_id not in sphs:
+                continue
+            ch = 0 if side.upper() == "A" else 1
+            rows.append((f"{spk}-sre{year}-{utt_id}-{side.lower()}", spk,
+                         f"{sphs[utt_id]}#ch{ch}"))
+            gender.setdefault(spk, g.lower())
+    return make_from_table(rows, gender)
+
+
+def make_sre_04_to_06(data_root: str, speaker_list: str
+                      ) -> Dict[str, DataDir]:
+    """The SRE04-06 partitions of ``local/make_sre_BUT.sh:16-30`` under a
+    NIST tree (``NIST/sre04``, ``NIST/sre05/r101_1_1/{train,test}``,
+    ``NIST/sre06/r108_1_1/{train,test}``); missing partitions are
+    skipped."""
+    parts = {
+        "sre2004": ("NIST/sre04", "04"),
+        "sre2005_train": ("NIST/sre05/r101_1_1/train", "05"),
+        "sre2005_test": ("NIST/sre05/r101_1_1/test", "05"),
+        "sre2006_train": ("NIST/sre06/r108_1_1/train", "06"),
+        "sre2006_test_1": ("NIST/sre06/r108_1_1/test", "06"),
+    }
+    out = {}
+    for name, (sub, year) in parts.items():
+        p = os.path.join(data_root, sub)
+        if os.path.isdir(p):
+            out[name] = make_sre(p, year, speaker_list)
+    return out
+
+
+def make_sre08(key_root: str, test_root: str, train_root: str) -> DataDir:
+    """SRE08 enroll (LDC2011S05) + test (LDC2011S08) resolved to true
+    speaker ids through the NIST key delivery: the short2 model key maps
+    models → (gender, enrollment segment:side, speaker id); the
+    short2-short3 trial key recovers test-segment speakers from target
+    trials (reference ``local/make_sre08_BUT.pl:43-119``). Utterances
+    ``<sid>_SRE08_<seg>_<A|B>``."""
+    keys = os.path.join(key_root, "NIST_SRE08_KEYS.v0.1")
+    sphs = {**_sph_index(os.path.join(test_root, "data")),
+            **_sph_index(os.path.join(train_root, "data"))}
+    rows: List[Tuple[str, str, str]] = []
+    gender: Dict[str, str] = {}
+    model2sid: Dict[str, str] = {}
+
+    def add(sid, seg, side):
+        ch = 0 if side.lower() == "a" else 1
+        rows.append((f"{sid}_SRE08_{seg}_{side.upper()}", sid,
+                     f"{sphs[seg]}#ch{ch}"))
+
+    with open(os.path.join(keys, "model-keys",
+                           "NIST_SRE08_short2.model.key")) as f:
+        for line in f:
+            toks = [t.strip() for t in line.split(",")]
+            if len(toks) < 4:
+                continue
+            model, g, seg_ch, sid = toks[:4]
+            seg, _, side = seg_ch.partition(":")
+            model2sid[model] = sid
+            gender.setdefault(sid, g.lower())
+            if seg in sphs and side.lower() in ("a", "b"):
+                add(sid, seg, side)
+    with open(os.path.join(keys, "trial-keys",
+                           "NIST_SRE08_short2-short3.trial.key")) as f:
+        for line in f:
+            toks = [t.strip() for t in line.split(",")]
+            if len(toks) < 4:
+                continue
+            model, seg, side, target = toks[:4]
+            if (target == "target" and model in model2sid and seg in sphs
+                    and side.lower() in ("a", "b")):
+                add(model2sid[model], seg, side)
+    return make_from_table(rows, gender)
+
+
+def make_sre10(root: str) -> DataDir:
+    """SRE10 coreext enroll + test in one directory via the eval delivery's
+    model key, train list and trial key (reference
+    ``local/make_sre10.pl:30-116``); 16 kHz duplicates are excluded from
+    the sph index. Utterances ``<sid>_SRE10_<seg>_<A|B>``."""
+    sphs = {b: p
+            for b, p in _sph_index(os.path.join(root, "data")).items()
+            if f"{os.sep}16k{os.sep}" not in p}
+    rows: List[Tuple[str, str, str]] = []
+    gender: Dict[str, str] = {}
+    model2sid: Dict[str, str] = {}
+    with open(os.path.join(root, "keys", "coreext.modelkey.csv")) as f:
+        for line in f:
+            model, _, sid = line.strip().partition(",")
+            if sid and sid != "NOT_SCORED":
+                model2sid[model] = sid
+
+    def add(sid, seg, side):
+        ch = 0 if side.lower() == "a" else 1
+        rows.append((f"{sid}_SRE10_{seg}_{side.upper()}", sid,
+                     f"{sphs[seg]}#ch{ch}"))
+
+    with open(os.path.join(root, "train", "coreext.trn")) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < 3 or toks[0] not in model2sid:
+                continue
+            model, g = toks[0], toks[1]
+            fname = toks[2].split("/")[-1]
+            sph, _, side = fname.partition(":")
+            seg = sph.split(".")[0]
+            sid = model2sid[model]
+            gender.setdefault(sid, g.lower())
+            if seg in sphs and side.lower() in ("a", "b"):
+                add(sid, seg, side)
+    with open(os.path.join(root, "keys", "coreext-coreext.trialkey.csv")) as f:
+        for line in f:
+            toks = [t.strip() for t in line.split(",")]
+            if len(toks) < 4:
+                continue
+            model, seg, side, target = toks[:4]
+            if (target == "target" and model in model2sid and seg in sphs
+                    and side.lower() in ("a", "b")):
+                add(model2sid[model], seg, side)
+    return make_from_table(rows, gender)
 
 
 def load_trials(path: str) -> List[Tuple[str, str, int]]:

@@ -47,6 +47,7 @@ class DataDir:
     feats: Dict[str, str] = field(default_factory=dict)      # utt → ark offset
     vad: Dict[str, str] = field(default_factory=dict)        # utt → ark offset
     utt2num_frames: Dict[str, int] = field(default_factory=dict)
+    spk2gender: Dict[str, str] = field(default_factory=dict)  # spk → m|f
 
     # ---- derived -----------------------------------------------------------
     @property
@@ -74,8 +75,12 @@ class DataDir:
         def f(d):
             return {k: v for k, v in d.items() if k in keep}
 
-        return DataDir(f(self.utt2spk), f(self.wav), f(self.feats),
-                       f(self.vad), f(self.utt2num_frames))
+        u2s = f(self.utt2spk)
+        spks = set(u2s.values())
+        return DataDir(u2s, f(self.wav), f(self.feats),
+                       f(self.vad), f(self.utt2num_frames),
+                       {s: g for s, g in self.spk2gender.items()
+                        if s in spks})
 
     def exclude(self, drop: Iterable[str]) -> "DataDir":
         drop = set(drop)
@@ -107,7 +112,8 @@ class DataDir:
                           {**out.wav, **o.wav},
                           {**out.feats, **o.feats},
                           {**out.vad, **o.vad},
-                          {**out.utt2num_frames, **o.utt2num_frames})
+                          {**out.utt2num_frames, **o.utt2num_frames},
+                          {**out.spk2gender, **o.spk2gender})
         return out
 
     def split(self, n: int) -> List["DataDir"]:
@@ -117,7 +123,10 @@ class DataDir:
         return [self.filter(utts[i::n]) for i in range(n)]
 
     def map_speakers(self, fn) -> "DataDir":
-        return replace(self, utt2spk={u: fn(s) for u, s in self.utt2spk.items()})
+        return replace(self, utt2spk={u: fn(s)
+                                      for u, s in self.utt2spk.items()},
+                       spk2gender={fn(s): g
+                                   for s, g in self.spk2gender.items()})
 
     # ---- label mapping (get_egs.sh stage 0: spk2int / utt2int) -------------
     def spk2int(self) -> Dict[str, int]:
@@ -153,6 +162,8 @@ class DataDir:
         if self.utt2num_frames:
             _write_kv(os.path.join(path, "utt2num_frames"),
                       {k: str(v) for k, v in self.utt2num_frames.items()})
+        if self.spk2gender:
+            _write_kv(os.path.join(path, "spk2gender"), self.spk2gender)
 
 
 def load_data_dir(path: str) -> DataDir:
@@ -164,4 +175,4 @@ def load_data_dir(path: str) -> DataDir:
     utt2spk = _read_kv(os.path.join(path, "utt2spk"))
     n_frames = {k: int(v) for k, v in opt("utt2num_frames").items()}
     return DataDir(utt2spk, opt("wav.scp"), opt("feats.scp"), opt("vad.scp"),
-                   n_frames)
+                   n_frames, opt("spk2gender"))

@@ -152,3 +152,51 @@ def test_min_dcf_bounds():
     s = rng.randn(5000)
     l = rng.randint(0, 2, 5000)
     assert 0.9 < M.min_dcf(s, l) <= 1.01
+
+
+def test_device_scoring_matches_host():
+    """MXU score-matrix path (plda_device) matches the f64 host scorer to
+    f32 round-off, including multi-enroll counts and trial gathering."""
+    from xvector_tpu.backend import plda_device as PD
+    spk2vecs = _synth_speakers(n_spk=12, n_utt=6, dim=10)
+    plda = P.train_plda(spk2vecs)
+    rng = np.random.RandomState(7)
+    enroll = {f"e{i}": rng.randn(10) for i in range(5)}
+    test = {f"t{j}": rng.randn(10) for j in range(8)}
+    trials = [(f"e{i}", f"t{j}") for i in range(5) for j in range(8)]
+    num_utts = {f"e{i}": 1 + i % 3 for i in range(5)}
+
+    host = plda.score_trials(enroll, test, trials, num_utts)
+    dev = PD.score_trials_device(plda, enroll, test, trials, num_utts)
+    span = host.max() - host.min()
+    np.testing.assert_allclose(dev, host, atol=1e-3 * max(span, 1.0))
+
+    # projection parity
+    v = rng.randn(4, 10)
+    np.testing.assert_allclose(np.asarray(PD.project_device(plda, v)),
+                               plda.project(v), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(PD.project_device(plda, v, simple_length_norm=True)),
+        plda.project(v, simple_length_norm=True), rtol=2e-4, atol=2e-4)
+
+
+def test_device_scoring_eer_parity():
+    """EER computed from device scores equals the host EER on a separable
+    synthetic trial set."""
+    from xvector_tpu.backend import plda_device as PD
+    spk2vecs = _synth_speakers(n_spk=16, n_utt=8, dim=12, seed=3)
+    plda = P.train_plda(spk2vecs)
+    rng = np.random.RandomState(11)
+    # enroll/test drawn from the same planted speakers
+    enroll, test, trials, labels = {}, {}, [], []
+    for s in range(8):
+        mu = rng.randn(12) * 2.0
+        enroll[f"e{s}"] = mu + rng.randn(12) * 0.5
+        test[f"same{s}"] = mu + rng.randn(12) * 0.5
+        test[f"diff{s}"] = rng.randn(12) * 2.0
+        trials += [(f"e{s}", f"same{s}"), (f"e{s}", f"diff{s}")]
+        labels += [1, 0]
+    host = plda.score_trials(enroll, test, trials)
+    dev = PD.score_trials_device(plda, enroll, test, trials)
+    labels = np.array(labels)
+    assert abs(M.eer(host, labels) - M.eer(dev, labels)) < 1e-6

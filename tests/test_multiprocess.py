@@ -1,0 +1,121 @@
+"""True multi-controller training: two OS processes, each owning 2 virtual
+CPU devices, joined by ``jax.distributed`` into one 4-device mesh.  Each
+process feeds only its host-local batch rows (the launch contract); the
+result must match a single-controller run on the same global batches.
+
+This is the closest a single machine gets to validating the multi-host
+path the reference delegates to SGE job spawning (SURVEY §2.3, K21): real
+process boundaries, real cross-process collectives (gloo), real
+``make_array_from_process_local_data`` feeding.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from xvector_tpu.parallel import mesh as meshlib
+from xvector_tpu.train.trainer import TrainConfig, Trainer
+
+NUM_SPK = 8
+FEAT = 23
+MB = 8          # global minibatch; 4 rows per process
+T = 64
+
+WORKER = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"localhost:{{port}}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+import numpy as np
+from xvector_tpu.parallel import launch, mesh as meshlib
+from xvector_tpu.train.trainer import TrainConfig, Trainer
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_multiprocess import _global_batches, _train_cfg, NUM_SPK, FEAT
+
+mesh = meshlib.make_mesh(data=4, model=1)
+tr = Trainer(_train_cfg(), os.path.join(outdir, f"w{{pid}}"),
+             mesh=mesh, feat_dim=FEAT)
+lo, hi = launch.host_local_batch_slice(8)
+local = [(x[lo:hi], y[lo:hi], t) for x, y, t in _global_batches()]
+stats = tr.train_one_iteration(0, iter(local), lr=1e-3, dropout=0.0,
+                               shrink=1.0)
+w = np.asarray(tr.params["embed"][0]["w"])
+out = {{"loss": stats["loss"], "accuracy": stats["accuracy"],
+        "checksum": float(np.sum(np.abs(w))),
+        "w00": float(w[0, 0])}}
+with open(os.path.join(outdir, f"result{{pid}}.json"), "w") as f:
+    json.dump(out, f)
+"""
+
+
+def _train_cfg():
+    return TrainConfig(num_targets=NUM_SPK, model="tiny",
+                       compute_dtype="float32", block_size=2)
+
+
+def _global_batches(n=4, seed=0):
+    rng = np.random.RandomState(seed)
+    means = rng.randn(NUM_SPK, FEAT) * 2.0
+    out = []
+    for _ in range(n):
+        y = rng.randint(0, NUM_SPK, MB).astype(np.int32)
+        x = (rng.randn(MB, T, FEAT) * 0.3
+             + means[y][:, None, :]).astype(np.float16)
+        out.append((x, y, T))
+    return out
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_matches_single(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=repo))
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = (repo + os.pathsep + os.path.dirname(__file__)
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(pid), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    res = [json.load(open(tmp_path / f"result{pid}.json"))
+           for pid in (0, 1)]
+    # both controllers observe the identical global state
+    assert res[0] == res[1]
+
+    # single-controller reference on the same GLOBAL batches
+    tr = Trainer(_train_cfg(), str(tmp_path / "single"),
+                 mesh=meshlib.make_mesh(data=4, model=1,
+                                        devices=jax.devices()[:4]),
+                 feat_dim=FEAT)
+    stats = tr.train_one_iteration(0, iter(_global_batches()), lr=1e-3,
+                                   dropout=0.0, shrink=1.0)
+    w = np.asarray(tr.params["embed"][0]["w"])
+    assert abs(stats["loss"] - res[0]["loss"]) < 5e-3
+    assert abs(float(np.sum(np.abs(w))) - res[0]["checksum"]) < 1e-2

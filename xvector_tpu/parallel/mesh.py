@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "param_shardings",
-           "replicated", "init_distributed"]
+           "replicated", "init_distributed", "put_batch", "put_global"]
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -68,6 +68,36 @@ def block_batch_sharding(mesh: Mesh) -> NamedSharding:
     """(num_minibatches, batch, ...) stacks: shard the batch axis (axis 1)
     over ``data``; the scan axis stays unsharded."""
     return NamedSharding(mesh, P(None, "data"))
+
+
+def put_batch(x, sharding: NamedSharding):
+    """Place host data under ``sharding``.
+
+    Single controller: plain ``device_put``. Multi-controller
+    (``jax.process_count() > 1``): ``x`` is this host's *local* rows of the
+    global batch (the launch contract — each host feeds only its shard,
+    ``launch.host_local_batch_slice``) and is assembled into the global
+    array with ``make_array_from_process_local_data``; a replicated
+    sharding expects the full (identical) array on every host."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
+def put_global(tree: Any, shardings: Any) -> Any:
+    """Place pytrees every host holds in FULL (params/opt state/BN state at
+    init — identical on all hosts by seeding) under possibly
+    process-spanning shardings: each host serves its addressable shards
+    from its full copy via ``make_array_from_callback``."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
 
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:

@@ -249,24 +249,34 @@ class Trainer:
     # -- sharding placement ------------------------------------------------
     def _place_all(self):
         shardings = meshlib.param_shardings(self.mesh, self.params)
-        self.params = jax.device_put(self.params, shardings)
-        self.state = jax.device_put(self.state,
-                                    meshlib.replicated(self.mesh))
-        self.opt_state = jax.device_put(
+        self.params = meshlib.put_global(self.params, shardings)
+        rep = meshlib.replicated(self.mesh)
+        self.state = meshlib.put_global(
+            self.state, jax.tree_util.tree_map(lambda _: rep, self.state))
+        self.opt_state = meshlib.put_global(
             self.opt_state,
             meshlib.param_shardings(self.mesh, self.opt_state))
 
     def _pad_rows(self, feats, labels) -> Tuple[np.ndarray, np.ndarray, int]:
         """Pad the batch dim to a multiple of the data axis (host side,
-        fp16 — cheap); the pad rows carry weight 0 on device."""
+        fp16 — cheap); the pad rows carry weight 0 on device.
+
+        Multi-controller runs feed per-host local rows (launch contract),
+        where interleaved per-host padding would break the contiguous
+        valid-row mask — ragged batches are rejected there instead."""
         n = feats.shape[0]
         data_axis = self.mesh.shape["data"]
         pad = (-n) % data_axis
+        if pad and jax.process_count() > 1:
+            raise ValueError(
+                f"multi-host feeding needs per-host batches divisible by "
+                f"the local data-axis extent; got {n} rows")
         if pad:
             feats = np.concatenate(
                 [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
             labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
-        return feats, labels, n
+        # valid-row count of the GLOBAL batch (local rows on every host)
+        return feats, labels, n * jax.process_count()
 
     # -- metrics -----------------------------------------------------------
     def _log(self, record: Dict[str, Any]):
@@ -309,8 +319,8 @@ class Trainer:
             ys = np.stack([i[1] for i in items])
             tl = np.asarray([i[2] for i in items], np.int32)
             nr = np.asarray([i[3] for i in items], np.int32)
-            return (jax.device_put(xs, bbs), jax.device_put(ys, bbs),
-                    jax.device_put(tl, rep), jax.device_put(nr, rep),
+            return (meshlib.put_batch(xs, bbs), meshlib.put_batch(ys, bbs),
+                    meshlib.put_batch(tl, rep), meshlib.put_batch(nr, rep),
                     len(items))
 
         def dispatch(fut):
@@ -342,7 +352,8 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 self.params, self.opt_state, self.state, m = self._step_fn(
                     self.params, self.opt_state, self.state,
-                    jax.device_put(feats, bs), jax.device_put(labels, bs),
+                    meshlib.put_batch(feats, bs),
+                    meshlib.put_batch(labels, bs),
                     jnp.int32(true_len), jnp.int32(n_rows),
                     lr_, keep_, shrink_, sub)
                 stats_pending.append((m, 1))
@@ -364,8 +375,8 @@ class Trainer:
         for feats, labels, true_len in batches:
             feats, labels, n_rows = self._pad_rows(feats, labels)
             loss, acc = self._eval_fn(
-                self.params, self.state, jax.device_put(feats, bs),
-                jax.device_put(labels, bs), jnp.int32(true_len),
+                self.params, self.state, meshlib.put_batch(feats, bs),
+                meshlib.put_batch(labels, bs), jnp.int32(true_len),
                 jnp.int32(n_rows))
             tot_loss += float(loss) * n_rows
             tot_acc += float(acc) * n_rows

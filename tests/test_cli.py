@@ -142,3 +142,51 @@ def test_eval_dnn_cli(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= out["accuracy"] <= 1.0
     assert out["loss"] > 0.0
+
+
+def test_get_egs_cli_to_train(tmp_path, capsys):
+    """get_egs.sh contract: a Kaldi-format data dir (utt2spk + feats.scp)
+    → egs dir with archives, pdf2num and info/ files, consumable by the
+    train CLI."""
+    from xvector_tpu.cli import get_egs
+    rng = np.random.RandomState(0)
+    means = rng.randn(NUM_SPK, 23) * 2
+    data = tmp_path / "data"
+    data.mkdir()
+    ark = str(tmp_path / "feats.ark")
+    utt2spk = {}
+    with kio.ArkWriter(ark, ark + ".scp") as w:
+        for s in range(NUM_SPK):
+            for i in range(3):
+                utt = f"s{s}-u{i}"
+                utt2spk[utt] = f"s{s}"
+                w.write(utt, (rng.randn(120, 23) * 0.3
+                              + means[s]).astype(np.float32))
+    with open(data / "utt2spk", "w") as f:
+        for u, s in sorted(utt2spk.items()):
+            f.write(f"{u} {s}\n")
+    os.rename(ark + ".scp", data / "feats.scp")
+
+    egs = str(tmp_path / "egs")
+    get_egs.main([
+        "--min-frames-per-chunk=30", "--max-frames-per-chunk=60",
+        "--minibatch-size=4", "--num-repeats=2",
+        "--frames-per-iter=2000", "--num-heldout-utts=2",
+        str(data), egs])
+    out = capsys.readouterr().out
+    assert "targets" in out
+    assert os.path.exists(os.path.join(egs, "egs.0.xta"))
+    assert os.path.exists(os.path.join(egs, "valid_egs.xta"))
+    assert int(open(os.path.join(egs, "info", "feat_dim")).read()) == 23
+    n_arch = int(open(os.path.join(egs, "info", "num_archives")).read())
+    assert n_arch >= 1
+    n_tgt = int(open(os.path.join(egs, "info", "num_targets")).read())
+    assert n_tgt == NUM_SPK
+
+    work = str(tmp_path / "exp")
+    train_dnn.main([
+        "--tf-model-class=ModelWithoutDropout", "--model=tiny",
+        f"--num-targets={n_tgt}", "--num-epochs=1",
+        "--compute-dtype=float32", f"--egs-dir={egs}",
+        f"--dir={work}", "--block-size=2"])
+    assert os.path.exists(os.path.join(work, "model_final"))

@@ -200,3 +200,33 @@ def test_device_scoring_eer_parity():
     dev = PD.score_trials_device(plda, enroll, test, trials)
     labels = np.array(labels)
     assert abs(M.eer(host, labels) - M.eer(dev, labels)) < 1e-6
+
+
+def test_device_plda_em_matches_host():
+    """Device two-covariance EM (sufficient-statistic formulation, f32)
+    converges to the same model as the per-speaker float64 host EM:
+    diagonalised psi agrees to ~1e-3 relative and trial LLRs to the f32
+    noise floor.  Utterance counts deliberately vary per speaker to
+    exercise the unique-count posterior-covariance grouping."""
+    from xvector_tpu.backend import plda_device as PD
+    rng = np.random.RandomState(5)
+    spk2vecs = {}
+    for s in range(24):
+        mu = rng.randn(10) * 2.0
+        n = 2 + (s % 5)                       # counts 2..6
+        spk2vecs[f"s{s}"] = mu + rng.randn(n, 10) * 0.7
+
+    host = P.train_plda(spk2vecs)
+    dev = PD.train_plda_device(spk2vecs)
+
+    np.testing.assert_allclose(dev.mean, host.mean, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.sort(dev.psi), np.sort(host.psi),
+                               rtol=5e-3, atol=5e-4)
+
+    enroll = {f"e{i}": rng.randn(10) for i in range(6)}
+    test = {f"t{j}": rng.randn(10) for j in range(9)}
+    trials = [(f"e{i}", f"t{j}") for i in range(6) for j in range(9)]
+    s_host = host.score_trials(enroll, test, trials)
+    s_dev = dev.score_trials(enroll, test, trials)
+    span = s_host.max() - s_host.min()
+    np.testing.assert_allclose(s_dev, s_host, atol=2e-2 * max(span, 1.0))

@@ -323,9 +323,16 @@ class Recipe:
         spk2vecs: Dict[str, list] = {}
         for u, v in train_p.items():
             spk2vecs.setdefault(train_dir.utt2spk[u], []).append(v)
-        model = pldalib.train_plda(
-            {s: np.stack(vs) for s, vs in spk2vecs.items()},
-            num_em_iters=cfg.plda_em_iters)
+        grouped = {s: np.stack(vs) for s, vs in spk2vecs.items()}
+        # the device EM's batched sufficient-statistic formulation stays
+        # flat as speaker count grows; the f64 host loop wins on tiny sets
+        if len(grouped) >= 2000:
+            from xvector_tpu.backend.plda_device import train_plda_device
+            model = train_plda_device(grouped,
+                                      num_em_iters=cfg.plda_em_iters)
+        else:
+            model = pldalib.train_plda(grouped,
+                                       num_em_iters=cfg.plda_em_iters)
         if adapt_xv:
             model = model.adapt(np.stack(list(prep(adapt_xv).values())))
 

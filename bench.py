@@ -43,7 +43,8 @@ def bench_train(jax, jnp):
 
     block = 16
     cfg = TrainConfig(model="no_dropout", num_targets=NUM_SPEAKERS,
-                      compute_dtype="bfloat16", block_size=block)
+                      compute_dtype="bfloat16", block_size=block,
+                      fused_conv_bwd=jax.default_backend() == "tpu")
     model_cfg = tdnn.MODEL_ZOO["no_dropout"]
     params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg,
                                      NUM_SPEAKERS)

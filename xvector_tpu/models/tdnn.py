@@ -287,7 +287,7 @@ def fold_bn_state(state0: State, stacked: State, decay: float) -> State:
     return jax.tree.map(fold, state0, stacked)
 
 
-def _conv1d_same(x, w, dilation: int):
+def _conv1d_same(x, w, dilation: int, fused_bwd: bool = False):
     """(B, T, Cin) ⊛ (K, Cin, Cout) → (B, T, Cout), SAME padding.
 
     Two lowerings, both pure dot_general (no conv primitive):
@@ -312,6 +312,14 @@ def _conv1d_same(x, w, dilation: int):
     right = (k - 1) * dilation - left
     if k == 1:
         return jnp.dot(x, w[0])
+    if fused_bwd and k * cin > 160 and jax.default_backend() == "tpu":
+        from xvector_tpu.ops import conv_bwd as _cb
+        if _cb.pallas_bwd_supported(x.shape, w.shape, dilation):
+            # single-pass Pallas dw/dx (reads x and the cotangent once
+            # instead of k times); forward values identical.  Opt-in:
+            # a pallas_call has no GSPMD partitioning rule, so this is
+            # for single-device (per-shard-mapped) graphs only.
+            return _cb.conv1d_same_fused_bwd(x, w, dilation)
     xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
     if k * cin <= 160:
         pieces = [xp[:, j * dilation: j * dilation + t] for j in range(k)]
@@ -364,7 +372,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
           rng: Optional[jax.Array] = None,
           compute_dtype=jnp.float32,
           bn_stats_out: bool = False,
-          skip_head: bool = False) -> Dict[str, Any]:
+          skip_head: bool = False,
+          fused_conv_bwd: bool = False) -> Dict[str, Any]:
     """Forward pass.
 
     Args:
@@ -412,7 +421,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
         # (B, T, C) activation to f32, doubling its HBM traffic through
         # the forward AND the saved-residual reads of the backward
         h = _conv1d_same(h, layer["w"].astype(compute_dtype),
-                         cfg.dilations[i]) + layer["b"].astype(compute_dtype)
+                         cfg.dilations[i], fused_bwd=fused_conv_bwd
+                         ) + layer["b"].astype(compute_dtype)
         h = _activate(cfg, layer, h)
         h, bn_s = _batch_norm(h, layer["bn"], state["frame"][i], m,
                               train, cfg, stats_out=bn_stats_out)

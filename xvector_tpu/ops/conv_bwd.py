@@ -1,0 +1,185 @@
+"""Fused-read Pallas backward for the wide TDNN conv layers.
+
+The conv layers are lowered as k shifted dot_generals
+(``models/tdnn.py:_conv1d_same``, replacing the reference's
+``tf.layers.conv1d`` at ``models.py:470-477``).  XLA differentiates that
+graph into k separate dw contractions and k separate dx contractions —
+each re-reading the full (B, T, C) activation / cotangent tensor from
+HBM, so the backward of a k=5 layer moves ~5× the bytes it needs and
+profiles at ~113 TFLOP/s vs the ~200 peak.
+
+These kernels read each tensor once:
+
+* ``_dw_kernel`` — grid over batch blocks; the (k·C, Cout) f32 dw lives
+  resident in the revisited output block (zeroed at step 0, accumulated
+  every step), so all k shift contractions reuse the activation tile
+  already in VMEM.
+* ``_dx_kernel`` — grid over batch blocks; all k shifts of the padded
+  cotangent contract against the flipped weights from one VMEM tile.
+
+Both run f32 MXU accumulation (``preferred_element_type``) over bf16
+operands; dw additionally accumulates across batch blocks in f32 and is
+rounded to the weight dtype once at the end — strictly tighter than the
+per-dot bf16 rounding of the XLA path.
+
+``conv1d_same_fused_bwd`` wires them into a ``jax.custom_vjp`` whose
+forward is the unchanged shifted-dot lowering; eligibility (TPU backend,
+lane/sublane-aligned shapes) is checked by :func:`pallas_bwd_supported`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv1d_same_fused_bwd", "pallas_bwd_supported"]
+
+# Extra time padding so every shifted slice stays in bounds for all
+# supported (k, dilation) combos ((k-1)·d ≤ 12 in the model zoo) while
+# keeping the padded time axis sublane-aligned.
+_TPAD = 16
+_ROWS = 4          # batch rows per grid step (VMEM budget, see module doc)
+
+
+def _fwd_shifted_dots(x, w, dilation, t):
+    k = w.shape[0]
+    left = (k - 1) // 2 * dilation
+    right = (k - 1) * dilation - left
+    xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    out = None
+    for j in range(k):
+        term = jnp.dot(xp[:, j * dilation: j * dilation + t], w[j])
+        out = term if out is None else out + term
+    return out
+
+
+def _dw_kernel(xp_ref, g_ref, dw_ref, *, k, dilation, t, rows):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    cin = xp_ref.shape[2]
+    for j in range(k):
+        acc = None
+        for r in range(rows):
+            a = xp_ref[r, j * dilation: j * dilation + t, :]   # (T, Cin)
+            g = g_ref[r]                                        # (T, Cout)
+            term = jax.lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (Cin, Cout)
+            acc = term if acc is None else acc + term
+        dw_ref[j * cin:(j + 1) * cin, :] += acc
+
+
+def _dx_kernel(gp_ref, w_ref, dx_ref, *, k, dilation, t, rows):
+    cin = dx_ref.shape[2]
+    for r in range(rows):
+        acc = None
+        for j in range(k):
+            g = gp_ref[r, j * dilation: j * dilation + t, :]    # (T, Cout)
+            wj = w_ref[(k - 1 - j) * cin:(k - j) * cin, :]      # (Cin, Cout)
+            term = jax.lax.dot_general(
+                g, wj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (T, Cin)
+            acc = term if acc is None else acc + term
+        dx_ref[r] = acc.astype(dx_ref.dtype)
+
+
+def _pallas_dw(xp, g, k, dilation, interpret=False):
+    b, tp, cin = xp.shape
+    t, cout = g.shape[1], g.shape[2]
+    kern = functools.partial(_dw_kernel, k=k, dilation=dilation, t=t,
+                             rows=_ROWS)
+    return pl.pallas_call(
+        kern,
+        grid=(b // _ROWS,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, tp, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, t, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * cin, cout), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * cin, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * cin * cout * k,
+            bytes_accessed=xp.size * 2 + g.size * 2 + k * cin * cout * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, g)
+
+
+def _pallas_dx(gp, w2d, k, dilation, t, out_dtype, interpret=False):
+    b, tp, cout = gp.shape
+    cin = w2d.shape[0] // k
+    kern = functools.partial(_dx_kernel, k=k, dilation=dilation, t=t,
+                             rows=_ROWS)
+    return pl.pallas_call(
+        kern,
+        grid=(b // _ROWS,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, tp, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, t, cin), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, cin), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * cin * cout * k,
+            bytes_accessed=gp.size * 2 + w2d.size * 2 + b * t * cin * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(gp, w2d)
+
+
+def pallas_bwd_supported(x_shape, w_shape, dilation) -> bool:
+    """Wide, aligned shapes only: lanes need C ≡ 0 (mod 128), sublanes
+    T ≡ 0 (mod 16) (bf16 tile), batch divisible by the row-block, and the
+    max shift must fit the fixed time padding."""
+    b, t, _ = x_shape
+    k, cin, cout = w_shape
+    return (k > 1 and cin % 128 == 0 and cout % 128 == 0
+            and t % 16 == 0 and b % _ROWS == 0
+            and (k - 1) * dilation <= _TPAD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv1d_same_fused_bwd(x, w, dilation, interpret=False):
+    """(B, T, Cin) ⊛ (K, Cin, Cout) SAME conv; identical forward values
+    to the shifted-dot lowering, Pallas fused-read backward."""
+    return _fwd_shifted_dots(x, w, dilation, x.shape[1])
+
+
+def _fused_fwd(x, w, dilation, interpret):
+    return conv1d_same_fused_bwd(x, w, dilation, interpret), (x, w)
+
+
+def _fused_bwd(dilation, interpret, res, g):
+    x, w = res
+    k = w.shape[0]
+    t = x.shape[1]
+    left = (k - 1) // 2 * dilation
+    right = (k - 1) * dilation - left
+    g = g.astype(w.dtype)
+    xp = jnp.pad(x, ((0, 0), (left, _TPAD - left), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (right, _TPAD - right), (0, 0)))
+    w2d = w.reshape(k * w.shape[1], w.shape[2])
+    dw = _pallas_dw(xp, g, k, dilation, interpret)
+    dx = _pallas_dx(gp, w2d, k, dilation, t, x.dtype, interpret)
+    return dx, dw.reshape(w.shape).astype(w.dtype)
+
+
+conv1d_same_fused_bwd.defvjp(_fused_fwd, _fused_bwd)

@@ -74,6 +74,9 @@ class TrainConfig:
     # in-process failures are usually deterministic; raise for flaky
     # storage/network data planes.
     retry_backoff_s: float = 30.0
+    fused_conv_bwd: bool = False           # Pallas fused-read conv
+    # backward (ops/conv_bwd.py). Opt-in: single-device TPU graphs only —
+    # pallas_call has no GSPMD partitioning rule for sharded meshes.
 
 
 def _device_mask(batch_shape, t_len, n_rows):
@@ -97,7 +100,8 @@ def _loss_fn(model_cfg: tdnn.TdnnConfig, cfg: TrainConfig, params, state,
                      compute_dtype=jnp.dtype(cfg.compute_dtype),
                      bn_stats_out=bn_stats_out,
                      skip_head=cfg.head in ("am_softmax",
-                                            "sharded_softmax"))
+                                            "sharded_softmax"),
+                     fused_conv_bwd=cfg.fused_conv_bwd)
     if cfg.head == "am_softmax":
         ce, logits = am_softmax(out["hidden"], params["output"]["w"],
                                 labels, cfg.am_scale, cfg.am_margin,

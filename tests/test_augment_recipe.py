@@ -34,3 +34,27 @@ def test_recipe_augment_stage(tmp_path):
     np.testing.assert_array_equal(provider("spk0_u0-noise"), noised)
     # music/babble unavailable → not generated
     assert "spk0_u0-music" not in aug.utt2spk
+
+
+def test_augmented_copies_inherit_clean_vad(tmp_path):
+    """Reference behaviour: vad.scp of augmented lists is COPIED from the
+    clean list (run.sh:141), never recomputed on corrupted audio."""
+    from xvector_tpu.io import kaldi_ark as kio
+
+    rng = np.random.RandomState(3)
+    waves = {f"spk{s}_u{u}": np.concatenate([
+        (rng.randn(4000) * 2000), np.zeros(4000)]).astype(np.float32)
+        for s in range(2) for u in range(2)}
+    data = DataDir(utt2spk={u: u.split("_")[0] for u in waves})
+    recipe = Recipe(RecipeConfig(work_dir=str(tmp_path)))
+    noises = [(rng.randn(2000) * 3000).astype(np.float32)]
+    aug, provider = recipe.augment(data, lambda u: waves[u], noises=noises)
+    feat_dir = recipe.make_features(aug, provider, split="aug",
+                                    dither_seed=None)
+    vads = {u: kio.read_vec_flt(loc) for u, loc in feat_dir.vad.items()}
+    for u in waves:
+        np.testing.assert_array_equal(vads[u + "-noise"], vads[u])
+    # feats of the augmented copy still differ from clean
+    f_clean = kio.read_mat(feat_dir.feats["spk0_u0"])
+    f_noise = kio.read_mat(feat_dir.feats["spk0_u0-noise"])
+    assert not np.allclose(f_clean, f_noise)

@@ -136,6 +136,48 @@ def test_compressed_matrix_cm2():
     assert np.abs(got - mat).max() < grange / 65000.0 * 2
 
 
+def test_compressed_matrix_write_roundtrip(tmp_path):
+    """Native CM encoder (write_mat compress=True) must round-trip through
+    the decoder within codec tolerance, for both the percentile format
+    (rows > 8) and the two-byte format (rows <= 8)."""
+    rng = np.random.RandomState(7)
+    for rows in (3, 8, 9, 200):
+        mat = (rng.randn(rows, 23) * 4 - 2).astype(np.float32)
+        p = tmp_path / f"c{rows}.ark"
+        with open(p, "wb") as f:
+            kio.write_mat(f, mat, key="utt1", compress=True)
+        (key, got), = list(kio.read_mat_ark(str(p)))
+        assert key == "utt1"
+        assert got.shape == mat.shape
+        span = float(mat.max() - mat.min())
+        # uint8 percentile codec: ~128 levels across the IQR; uint16: exact-ish
+        tol = span / 60.0 if rows > 8 else span / 30000.0
+        assert np.abs(got - mat).max() < tol
+        if rows > 100:   # header amortized: ~4x smaller than FM float32
+            assert p.stat().st_size < mat.nbytes / 2.5
+
+
+def test_compressed_matrix_write_constant(tmp_path):
+    mat = np.full((40, 5), 3.25, np.float32)
+    p = tmp_path / "const.ark"
+    with open(p, "wb") as f:
+        kio.write_mat(f, mat, key="c", compress=True)
+    (_, got), = list(kio.read_mat_ark(str(p)))
+    assert np.abs(got - mat).max() < 1e-4
+
+
+def test_ark_writer_compressed(tmp_path):
+    rng = np.random.RandomState(11)
+    mats = {f"u{i}": rng.randn(30, 23).astype(np.float32) for i in range(3)}
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with kio.ArkWriter(ark, scp, compress=True) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    for k, got in kio.read_mat_scp(scp):
+        span = float(mats[k].max() - mats[k].min())
+        assert np.abs(got - mats[k]).max() < span / 60.0
+
+
 def test_pipe_read(tmp_path):
     ark = str(tmp_path / "p.ark")
     m = np.random.randn(4, 3).astype(np.float32)

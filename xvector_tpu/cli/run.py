@@ -53,6 +53,10 @@ class RecipeConfig:
     extractor: ExtractorConfig = ExtractorConfig()
     lda_dim: int = 0                  # 0 = skip LDA (run.sh uses 100)
     plda_em_iters: int = 10
+    # store raw MFCC arks as Kaldi CompressedMatrix (~4x smaller), the
+    # make_mfcc.sh --compress=true default; the egs ark stays float32 for
+    # native random access
+    compress_feats: bool = True
 
 
 class Recipe:
@@ -120,9 +124,9 @@ class Recipe:
             key = (jax.random.PRNGKey(dither_seed)
                    if dither_seed is not None else None)
             n_frames = {}
-            with kio.ArkWriter(feat_ark, feat_ark + ".scp") as fw, \
-                    kio.ArkWriter(self._p(f"vad_{split}.ark"),
-                                  self._p(f"vad_{split}.ark.scp")) as vw:
+            vads: Dict[str, np.ndarray] = {}
+            with kio.ArkWriter(feat_ark, feat_ark + ".scp",
+                               compress=self.cfg.compress_feats) as fw:
                 for utt in data.utts:
                     wave = np.asarray(wav_provider(utt), np.float32)
                     if key is not None:
@@ -130,10 +134,23 @@ class Recipe:
                     else:
                         sub = None
                     m = featlib.mfcc(wave, self.cfg.mfcc, key=sub)
-                    v = featlib.energy_vad(m, self.cfg.vad)
+                    vads[utt] = np.asarray(featlib.energy_vad(m,
+                                                              self.cfg.vad))
                     fw.write(utt, np.asarray(m))
-                    vw.write(utt, np.asarray(v))
                     n_frames[utt] = int(m.shape[0])
+            # augmented copies (utt-suffix naming, run.sh:130/156-163)
+            # inherit the CLEAN utterance's VAD — the reference copies
+            # vad.scp from the clean list instead of recomputing it on
+            # corrupted audio (run.sh:141, run.sh:172-175 comment)
+            with kio.ArkWriter(self._p(f"vad_{split}.ark"),
+                               self._p(f"vad_{split}.ark.scp")) as vw:
+                for utt in data.utts:
+                    base = utt.rsplit("-", 1)[0]
+                    v = vads[utt]
+                    if base != utt and base in vads \
+                            and len(vads[base]) == len(v):
+                        v = vads[base]
+                    vw.write(utt, v)
             with open(done, "w") as f:
                 json.dump(n_frames, f)
         n_frames = json.load(open(done))

@@ -14,8 +14,9 @@ a gather (so RIRs can be traced values).
 
 SNR semantics follow ``wav-reverberate --snrs``: noise is scaled so that
 10·log10(P_signal / P_noise_scaled) equals the requested SNR, with the
-reference recipe's SNR grammars (noise 15:10:5:0, music 15:10:8:5, babble
-20:17:15:13 — run.sh:148-163).
+reference recipe's SNR grammars (noise ``--fg-snrs 10:5``, music
+``--bg-snrs 10:7:5``, babble ``--bg-snrs 19:17:15:13`` with
+``--num-bg-noises 3:4:5:6:7`` — run.sh:156-163).
 """
 
 from __future__ import annotations
@@ -31,9 +32,9 @@ import numpy as np
 __all__ = ["fir_conv", "reverberate", "mix_noise", "AugmentConfig",
            "NOISE_SNRS", "MUSIC_SNRS", "BABBLE_SNRS"]
 
-NOISE_SNRS = (15.0, 10.0, 5.0, 0.0)     # run.sh:158 --fg-snrs
-MUSIC_SNRS = (15.0, 10.0, 8.0, 5.0)     # run.sh:161 --bg-snrs
-BABBLE_SNRS = (20.0, 17.0, 15.0, 13.0)  # run.sh:163 --bg-snrs
+NOISE_SNRS = (10.0, 5.0)                # run.sh:156 --fg-snrs "10:5"
+MUSIC_SNRS = (10.0, 7.0, 5.0)           # run.sh:159 --bg-snrs "10:7:5"
+BABBLE_SNRS = (19.0, 17.0, 15.0, 13.0)  # run.sh:162 --bg-snrs "19:17:15:13"
 
 
 @functools.lru_cache(maxsize=8)
@@ -111,9 +112,13 @@ def mix_noise(x: jnp.ndarray, noise: jnp.ndarray, snr_db: float,
 
 @dataclass(frozen=True)
 class AugmentConfig:
-    """One augmented copy per clean utterance, reference-style: the recipe
-    concatenates {clean, reverb, noise, music, babble} and samples a
-    1× subset of augmented copies (run.sh:144-171)."""
+    """One augmented copy per clean utterance per kind, reference-style:
+    the recipe builds full-size reverb/noise/music/babble copies and
+    combines all of them with the clean list (run.sh:124-171 — no
+    subsetting in this recipe, unlike upstream sre16/v2). RIR sampling is
+    uniform over the provided list; pass equally-sized small+medium room
+    lists to reproduce the 0.5/0.5 ``--rir-set-parameters`` split
+    (run.sh:126-127)."""
     noise_snrs: Tuple[float, ...] = NOISE_SNRS
     music_snrs: Tuple[float, ...] = MUSIC_SNRS
     babble_snrs: Tuple[float, ...] = BABBLE_SNRS

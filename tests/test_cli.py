@@ -190,3 +190,68 @@ def test_get_egs_cli_to_train(tmp_path, capsys):
         "--compute-dtype=float32", f"--egs-dir={egs}",
         f"--dir={work}", "--block-size=2"])
     assert os.path.exists(os.path.join(work, "model_final"))
+
+
+def _write_wav(path, samples, sr=8000):
+    import wave as wavmod
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with wavmod.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.clip(samples, -32768, 32767)
+                      .astype("<i2").tobytes())
+
+
+def test_run_cli_with_corpus_and_augmentation(tmp_path, capsys):
+    """Full staged driver from on-disk artifacts: Kaldi data dir +
+    MUSAN/RIRS trees → augment → features → egs → train → extract →
+    score (the run.sh stages end to end)."""
+    from xvector_tpu.cli import run as run_cli
+
+    rng = np.random.RandomState(0)
+    sr = 8000
+    # corpus: 3 two-tone speakers x 4 utts, as Kaldi data dir on disk
+    corpus = tmp_path / "corpus"
+    dd = tmp_path / "data"
+    os.makedirs(dd)
+    f0 = rng.uniform(300, 3000, size=(3, 2))
+    wav_lines, u2s_lines = [], []
+    for s in range(3):
+        for u in range(4):
+            t = np.arange(int(sr * 2.0)) / sr
+            w = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+                    for f in f0[s])
+            utt, spk = f"spk{s}_u{u}", f"spk{s}"
+            p = str(corpus / f"{utt}.wav")
+            _write_wav(p, 3000 * w + 200 * rng.randn(len(t)))
+            wav_lines.append(f"{utt} {p}")
+            u2s_lines.append(f"{utt} {spk}")
+    (dd / "wav.scp").write_text("\n".join(wav_lines) + "\n")
+    (dd / "utt2spk").write_text("\n".join(u2s_lines) + "\n")
+    # tiny MUSAN + RIRS trees
+    musan = tmp_path / "musan"
+    _write_wav(str(musan / "noise" / "free" / "n1.wav"),
+               rng.randn(sr) * 500)
+    _write_wav(str(musan / "music" / "fma" / "m1.wav"),
+               np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 4000)
+    rirs = tmp_path / "RIRS" / "simulated_rirs"
+    _write_wav(str(rirs / "smallroom" / "r1.wav"),
+               np.exp(-np.arange(200) / 30) * 20000)
+    _write_wav(str(rirs / "mediumroom" / "r2.wav"),
+               np.exp(-np.arange(400) / 80) * 20000)
+
+    run_cli.main([
+        f"--work-dir={tmp_path / 'exp'}", f"--data-dir={dd}",
+        f"--musan-dir={musan}", f"--rirs-dir={tmp_path / 'RIRS'}",
+        "--model=tiny", "--num-epochs=2", "--num-archives=2",
+        "--min-chunk=40", "--max-chunk=80", "--minibatch-size=4",
+        "--compute-dtype=float32"])
+    out = capsys.readouterr().out
+    assert "stage 0: augmentation" in out
+    assert "rirs=True noise=True music=True babble=False" in out
+    assert "EER" in out
+    # augmented copies made it into the feature arks
+    scp = (tmp_path / "exp" / "feats_all.ark.scp").read_text()
+    assert "spk0_u0-reverb" in scp and "spk0_u0-noise" in scp \
+        and "spk0_u0-music" in scp

@@ -381,18 +381,41 @@ def _synthetic_corpus(num_spk: int, utts_per_spk: int, seed: int = 0):
     return waves, utt2spk
 
 
+class _LazyWaves:
+    """List-like random-access view over audio paths: waves are decoded on
+    demand, so corpus-scale MUSAN/RIR sets never sit in RAM at once."""
+
+    def __init__(self, paths):
+        self._paths = list(paths)
+
+    def __len__(self):
+        return len(self._paths)
+
+    def __getitem__(self, i):
+        from ..io.wav import load_wave
+        return np.asarray(load_wave(self._paths[i])[0], np.float32)
+
+
 def main(argv=None):
     """Staged end-to-end driver (run.sh stages, --stage gating):
 
-      1 features · 2 egs · 3 train · 4 extract · 5 score
+      0 augment · 1 features · 2 egs · 3 train · 4 extract · 5 score
 
     Input: --data-dir (Kaldi data dir whose wav.scp the native decoder can
     read) or --synthetic-speakers for a self-contained demo corpus.
+    Augmentation (run.sh:113-171) activates when --musan-dir and/or
+    --rirs-dir point at the MUSAN / RIRS_NOISES corpora.
     """
     from ..io.wav import load_wave
 
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--musan-dir", default="",
+                    help="MUSAN root (music/ noise/ speech/) for additive "
+                         "augmentation, run.sh:146-163")
+    ap.add_argument("--rirs-dir", default="",
+                    help="RIRS_NOISES root for reverberation, "
+                         "run.sh:118-136")
     ap.add_argument("--stage", type=int, default=1,
                     help="kept for run.sh familiarity; every stage is "
                          "idempotent and auto-skips completed artifacts, "
@@ -440,6 +463,31 @@ def main(argv=None):
             batch_size=8, compute_dtype=args.compute_dtype),
         lda_dim=args.lda_dim)
     recipe = Recipe(cfg)
+
+    if args.musan_dir or args.rirs_dir:
+        from ..data import corpora
+        rirs = noises = musics = speeches = None
+        if args.rirs_dir:
+            rooms = corpora.make_rirs(args.rirs_dir)
+            rirs = {room: _LazyWaves(paths)
+                    for room, paths in rooms.items() if paths} or None
+        if args.musan_dir:
+            musan = corpora.make_musan(args.musan_dir)
+
+            def lazy(cat):
+                if cat not in musan:
+                    return None
+                dd = musan[cat]
+                return _LazyWaves([dd.wav[u] for u in dd.utts]) or None
+
+            noises, musics, speeches = lazy("noise"), lazy("music"), \
+                lazy("speech")
+        print("== stage 0: augmentation "
+              f"(rirs={bool(rirs)} noise={bool(noises)} "
+              f"music={bool(musics)} babble={bool(speeches)})")
+        data, provider = recipe.augment(data, provider, rirs=rirs,
+                                        noises=noises, musics=musics,
+                                        speeches=speeches)
 
     print(f"== stage 1: features ({len(data)} utts)")
     feat_dir = recipe.make_features(data, provider, split="all")

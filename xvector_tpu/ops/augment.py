@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Mapping, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -127,14 +127,24 @@ class AugmentConfig:
 
 def augment_utterance(kind: str, x: np.ndarray, rng: np.random.RandomState,
                       cfg: AugmentConfig,
-                      rirs: Optional[Sequence[np.ndarray]] = None,
+                      rirs: Optional[Union[Sequence[np.ndarray],
+                                           Mapping[str, Sequence[np.ndarray]]
+                                           ]] = None,
                       noises: Optional[Sequence[np.ndarray]] = None,
                       musics: Optional[Sequence[np.ndarray]] = None,
                       speeches: Optional[Sequence[np.ndarray]] = None
                       ) -> np.ndarray:
     """Produce one augmented copy. ``kind`` ∈ reverb|noise|music|babble.
-    Host-side sampling (choice of RIR/noise/SNR) + device-side math."""
+    Host-side sampling (choice of RIR/noise/SNR) + device-side math.
+
+    ``rirs`` may be a mapping ``room_type → list of RIRs`` — the room type
+    is then sampled uniformly first, reproducing the reference's equal
+    ``--rir-set-parameters "0.5, …smallroom…"/"0.5, …mediumroom…"`` split
+    regardless of list sizes (run.sh:126-127)."""
     if kind == "reverb":
+        if isinstance(rirs, Mapping):
+            room = sorted(rirs)[rng.randint(len(rirs))]
+            rirs = rirs[room]
         rir = rirs[rng.randint(len(rirs))]
         return np.asarray(reverberate(x, rir))
     if kind == "noise":

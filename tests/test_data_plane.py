@@ -193,3 +193,116 @@ def test_deterministic_length_strategy():
     assert all(len(s) == 1 for s in lens)
     vals = [next(iter(s)) for s in lens]
     assert vals[0] == 100 and vals[-1] == 200 and vals == sorted(vals)
+
+
+def test_ranges_roundtrip():
+    utt2len, utt2label = _toy_corpus(num_spk=3, utts_per_spk=3)
+    (plan,) = A.allocate_archives(utt2len, utt2label, CFG, num_archives=1)
+    lines = plan.to_ranges_lines()
+    back = A.ArchivePlan.from_ranges_lines(0, lines,
+                                           length_bucket=CFG.length_bucket)
+    assert back.minibatches == plan.minibatches
+
+
+def test_streaming_matches_materialized(tmp_path):
+    """stream_plan_loader must yield the exact minibatch sequence the
+    materialised .xta stores (same shuffle seed ⇒ bit-identical fp16)."""
+    utt2len, utt2label = _toy_corpus(num_spk=4, utts_per_spk=3)
+    cfg = A.AllocatorConfig(min_frames=50, max_frames=90, minibatch_size=4,
+                            num_repeats=2, frames_per_iter=4_000, seed=3)
+    (plan,) = A.allocate_archives(utt2len, utt2label, cfg, num_archives=1)
+    feats = {u: np.random.RandomState(hash(u) % 2**31).randn(
+        n, 23).astype(np.float32) for u, n in utt2len.items()}
+    path = str(tmp_path / "egs.0.xta")
+    AR.materialize_archive(plan, path, fetch=lambda u: feats[u],
+                           shuffle_seed=42)
+    stored = list(AR.ArchiveReader(path))
+    streamed = list(AR.stream_plan_loader(plan, fetch=lambda u: feats[u],
+                                          shuffle_seed=42, queue_size=2))
+    assert len(stored) == len(streamed)
+    for (xa, ya, ta), (xb, yb, tb) in zip(stored, streamed):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+        assert ta == tb
+
+
+def test_streaming_from_ark_source(tmp_path):
+    """utt2src routing: stream minibatches straight out of a Kaldi ark
+    (the egs feature ark), native decoder or Python fallback."""
+    from xvector_tpu.io import kaldi_ark as kio
+    utt2len = {"a": 200, "b": 180}
+    utt2label = {"a": 0, "b": 1}
+    cfg = A.AllocatorConfig(min_frames=64, max_frames=64, minibatch_size=2,
+                            num_repeats=2, frames_per_iter=512, seed=9,
+                            length_bucket=64)
+    (plan,) = A.allocate_archives(utt2len, utt2label, cfg, num_archives=1)
+    feats = {u: np.random.RandomState(i).randn(n, 7).astype(np.float32)
+             for i, (u, n) in enumerate(utt2len.items())}
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with kio.ArkWriter(ark, scp) as w:
+        for u, m in feats.items():
+            w.write(u, m)
+    src = {}
+    for line in open(scp):
+        u, loc = line.split()
+        p, off = loc.rsplit(":", 1)
+        src[u] = (p, int(off))
+    for x, y, t in AR.iter_plan_minibatches(plan, utt2src=src):
+        mb = None
+        for cand in plan.minibatches:
+            got = np.stack([np.pad(
+                feats[c.utt][c.offset: c.offset + c.length].astype(
+                    np.float16),
+                ((0, cand.padded_length - c.length), (0, 0)))
+                for c in cand.chunks])
+            if got.shape == x.shape and np.array_equal(got, x):
+                mb = cand
+                break
+        assert mb is not None
+
+
+def test_recipe_stream_egs_training_parity(tmp_path):
+    """Recipe(stream_egs=True) must train to EXACTLY the same parameters
+    as the materialised path: same plans, same shuffle, same trainer."""
+    import jax
+    from xvector_tpu.cli.run import Recipe, RecipeConfig
+    from xvector_tpu.extract.extractor import ExtractorConfig
+    from xvector_tpu.io.datadir import DataDir
+    from xvector_tpu.train.trainer import TrainConfig
+
+    rng = np.random.RandomState(0)
+    sr = 8000
+    waves = {f"spk{s}_u{u}": (np.sin(2 * np.pi * (500 + 700 * s)
+                                     * np.arange(sr * 2) / sr) * 3000
+                              + 200 * rng.randn(sr * 2)).astype(np.float32)
+             for s in range(3) for u in range(3)}
+    data = DataDir(utt2spk={u: u.split("_")[0] for u in waves})
+
+    def build(work, stream):
+        return RecipeConfig(
+            work_dir=str(work), min_utt_frames=40, min_spk_utts=2,
+            num_valid_utts=2, num_archives=2, stream_egs=stream,
+            allocator=A.AllocatorConfig(
+                min_frames=40, max_frames=60, minibatch_size=4,
+                num_repeats=2, frames_per_iter=3_000, length_bucket=32),
+            train=TrainConfig(model="tiny", num_targets=1, num_epochs=1,
+                              compute_dtype="float32", block_size=2),
+            extractor=ExtractorConfig(min_chunk=25, max_chunk=100,
+                                      batch_size=4))
+
+    params = {}
+    for stream in (False, True):
+        r = Recipe(build(tmp_path / f"s{int(stream)}", stream))
+        feat = r.make_features(data, lambda u: waves[u], split="all",
+                               dither_seed=None)
+        _, _, n = r.make_egs(feat)
+        trainer = r.train(n)
+        params[stream] = jax.tree.map(np.asarray, trainer.params)
+    flat_a = jax.tree.leaves(params[False])
+    flat_b = jax.tree.leaves(params[True])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+    # and the streaming workdir holds ranges files, no train .xta
+    s1 = tmp_path / "s1"
+    assert (s1 / "egs.0.ranges").exists()
+    assert not (s1 / "egs.0.xta").exists()

@@ -57,6 +57,10 @@ class RecipeConfig:
     # make_mfcc.sh --compress=true default; the egs ark stays float32 for
     # native random access
     compress_feats: bool = True
+    # True: skip .xta materialisation; training streams minibatches
+    # straight from the egs feature ark via each archive's ranges file
+    # (the reference's scp DataLoader path; same minibatch sequence)
+    stream_egs: bool = False
 
 
 class Recipe:
@@ -227,8 +231,15 @@ class Recipe:
             return cache[utt]
 
         for plan in plans:
-            out_path = self._p(f"egs.{plan.index}.xta")
             seed = cfg.allocator.seed + plan.index
+            if cfg.stream_egs:
+                rpath = self._p(f"egs.{plan.index}.ranges")
+                if not os.path.exists(rpath):
+                    with open(rpath + ".tmp", "w") as f:
+                        f.write("\n".join(plan.to_ranges_lines()) + "\n")
+                    os.replace(rpath + ".tmp", rpath)
+                continue
+            out_path = self._p(f"egs.{plan.index}.xta")
             if not archlib.materialize_archive_native(
                     plan, out_path, src, shuffle_seed=seed):
                 archlib.materialize_archive(plan, out_path, fetch,
@@ -272,6 +283,20 @@ class Recipe:
                           feat_dim=self.cfg.mfcc.num_ceps)
 
         def archive_batches(i):
+            if self.cfg.stream_egs:
+                lines = open(self._p(f"egs.{i}.ranges")).read().splitlines()
+                plan = alloclib.ArchivePlan.from_ranges_lines(
+                    i, lines,
+                    length_bucket=self.cfg.allocator.length_bucket)
+                scp = self._p("egs_feats.ark") + ".scp"
+                src = {}
+                for line in open(scp):
+                    utt, loc = line.split()
+                    path, off = loc.rsplit(":", 1)
+                    src[utt] = (path, int(off))
+                return archlib.stream_plan_loader(
+                    plan, utt2src=src,
+                    shuffle_seed=self.cfg.allocator.seed + i)
             reader = archlib.ArchiveReader(self._p(f"egs.{i}.xta"))
             return archlib.PrefetchLoader(reader)
 
@@ -431,6 +456,9 @@ def main(argv=None):
     ap.add_argument("--max-chunk", type=int, default=120)
     ap.add_argument("--minibatch-size", type=int, default=8)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--stream-egs", action="store_true",
+                    help="skip .xta materialisation; stream minibatches "
+                         "from the egs feature ark at train time")
     args = ap.parse_args(argv)
 
     if args.synthetic_speakers:
@@ -461,7 +489,8 @@ def main(argv=None):
         extractor=ExtractorConfig(
             min_chunk=25, max_chunk=max(400, args.max_chunk),
             batch_size=8, compute_dtype=args.compute_dtype),
-        lda_dim=args.lda_dim)
+        lda_dim=args.lda_dim,
+        stream_egs=args.stream_egs)
     recipe = Recipe(cfg)
 
     if args.musan_dir or args.rirs_dir:

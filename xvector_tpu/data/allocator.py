@@ -84,6 +84,30 @@ class ArchivePlan:
                     f"{c.utt} {mb_i} {rel} {c.offset} {c.length} {c.label}")
         return lines
 
+    @classmethod
+    def from_ranges_lines(cls, index: int, lines, length_bucket: int = 32
+                          ) -> "ArchivePlan":
+        """Inverse of :meth:`to_ranges_lines`: rebuild a plan from
+        reference-format ranges rows (so plans persist as the same text
+        artifact the reference writes, ``create_egs.py:533``)."""
+        per_mb: dict = {}
+        for line in lines:
+            parts = line.split()
+            if not parts:
+                continue
+            utt, mb_i, rel, off, ln, lab = (parts[0], int(parts[1]),
+                                            int(parts[2]), int(parts[3]),
+                                            int(parts[4]), int(parts[5]))
+            per_mb.setdefault(mb_i, []).append(
+                (rel, ChunkSpec(utt, off, ln, lab)))
+        mbs = []
+        for mb_i in sorted(per_mb):
+            chunks = tuple(c for _, c in sorted(per_mb[mb_i]))
+            length = chunks[0].length
+            mbs.append(MinibatchPlan(chunks, length,
+                                     _round_up(length, length_bucket)))
+        return cls(index, tuple(mbs))
+
 
 @dataclass(frozen=True)
 class AllocatorConfig:

@@ -32,7 +32,8 @@ import numpy as np
 from .allocator import ArchivePlan
 
 __all__ = ["write_archive", "ArchiveReader", "PrefetchLoader",
-           "materialize_archive"]
+           "materialize_archive", "iter_plan_minibatches",
+           "stream_plan_loader"]
 
 _MAGIC = b"XTA1"
 
@@ -103,6 +104,19 @@ class ArchiveReader:
         self.close()
 
 
+def _assemble_minibatch(mb, rows: Callable[[str], np.ndarray]
+                        ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """(B, Tpad, F) float16 + labels + true length for one minibatch plan."""
+    feat_dim = rows(mb.chunks[0].utt).shape[1]
+    x = np.zeros((len(mb.chunks), mb.padded_length, feat_dim),
+                 dtype=np.float16)
+    y = np.empty(len(mb.chunks), dtype=np.int32)
+    for i, c in enumerate(mb.chunks):
+        x[i, : c.length] = rows(c.utt)[c.offset: c.offset + c.length]
+        y[i] = c.label
+    return x, y, mb.length
+
+
 def materialize_archive(plan: ArchivePlan, path: str,
                         fetch: Callable[[str], np.ndarray],
                         shuffle_seed: int | None = None):
@@ -117,27 +131,82 @@ def materialize_archive(plan: ArchivePlan, path: str,
 
     def rows(utt):
         if utt not in cache:
+            # bound the cache: archives visit many utterances once
+            if len(cache) > 512:
+                cache.clear()
             cache[utt] = np.asarray(fetch(utt), dtype=np.float32)
         return cache[utt]
 
-    out = []
-    for mb in plan.minibatches:
-        feat_dim = rows(mb.chunks[0].utt).shape[1]
-        x = np.zeros((len(mb.chunks), mb.padded_length, feat_dim),
-                     dtype=np.float16)
-        y = np.empty(len(mb.chunks), dtype=np.int32)
-        for i, c in enumerate(mb.chunks):
-            x[i, : c.length] = rows(c.utt)[c.offset: c.offset + c.length]
-            y[i] = c.label
-        out.append((x, y, mb.length))
-        # bound the per-utterance cache: archives visit many utterances once
-        if len(cache) > 512:
-            cache.clear()
+    out = [_assemble_minibatch(mb, rows) for mb in plan.minibatches]
     if shuffle_seed is not None:
         rng = np.random.RandomState(shuffle_seed)
         order = rng.permutation(len(out))
         out = [out[i] for i in order]
     write_archive(path, out)
+
+
+def iter_plan_minibatches(plan: ArchivePlan,
+                          fetch: Callable[[str], np.ndarray] | None = None,
+                          utt2src: Dict[str, Tuple[str, int]] | None = None,
+                          shuffle_seed: int | None = None
+                          ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+    """Assemble minibatches straight from a plan — **no .xta on disk**.
+
+    The reference's scp-direct loader path (``examples_io.DataLoader``,
+    ``examples_io.py:181-221``, selected over the tar loader at
+    ``train_dnn_one_iteration.py:196-203``): chunks are sliced from the
+    processed-feature source at iteration time.  ``utt2src`` (utt →
+    (ark_path, byte_offset)) routes decoding through libxta when built;
+    otherwise ``fetch(utt) -> (T, F)`` is used.  ``shuffle_seed`` matches
+    :func:`materialize_archive`'s on-disk order exactly, so streaming and
+    materialised training see identical minibatch sequences."""
+    from ..runtime import native
+    use_native = utt2src is not None and native.available()
+    if not use_native and fetch is None:
+        if utt2src is None:
+            raise ValueError("need fetch or utt2src")
+        from ..io import kaldi_ark as kio
+        fetch = lambda u: kio.read_mat(f"{utt2src[u][0]}:{utt2src[u][1]}")
+
+    order = range(len(plan.minibatches))
+    if shuffle_seed is not None:
+        order = np.random.RandomState(shuffle_seed).permutation(
+            len(plan.minibatches))
+
+    cache: Dict[str, np.ndarray] = {}
+
+    def rows(utt):
+        if utt not in cache:
+            if len(cache) > 512:
+                cache.clear()
+            cache[utt] = np.asarray(fetch(utt), dtype=np.float32)
+        return cache[utt]
+
+    for i in order:
+        mb = plan.minibatches[i]
+        if use_native:
+            sources = [(utt2src[c.utt][0], utt2src[c.utt][1], c.offset,
+                        c.length) for c in mb.chunks]
+            feat_dim = native.read_mat(*utt2src[mb.chunks[0].utt]).shape[1]
+            feats = native.materialize_chunks(sources, mb.padded_length,
+                                              feat_dim)
+            labels = np.fromiter((c.label for c in mb.chunks), np.int32,
+                                 len(mb.chunks))
+            yield feats, labels, mb.length
+        else:
+            yield _assemble_minibatch(mb, rows)
+
+
+def stream_plan_loader(plan: ArchivePlan,
+                       fetch: Callable[[str], np.ndarray] | None = None,
+                       utt2src: Dict[str, Tuple[str, int]] | None = None,
+                       shuffle_seed: int | None = None,
+                       queue_size: int = 16) -> "PrefetchLoader":
+    """Prefetching wrapper over :func:`iter_plan_minibatches` — the drop-in
+    materialisation-free replacement for ``PrefetchLoader(ArchiveReader)``."""
+    return PrefetchLoader(iter_plan_minibatches(
+        plan, fetch=fetch, utt2src=utt2src, shuffle_seed=shuffle_seed),
+        queue_size=queue_size)
 
 
 def materialize_archive_native(plan: ArchivePlan, path: str,

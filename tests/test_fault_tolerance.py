@@ -79,3 +79,23 @@ def test_step_timer_summary():
     s = t.summary()
     assert set(k.split("_")[0] for k in s) == {"disk", "device"}
     assert abs(s["disk_pct"] + s["device_pct"] - 100.0) < 1e-6
+
+
+def test_seed_pinning_guards_resume(tmp_path):
+    """Resuming a work dir with a different --random-seed must fail loudly
+    (reference guard train_dnn.py:323-338)."""
+    from xvector_tpu.train import checkpoints as C
+    d = str(tmp_path / "exp")
+    C.pin_seed(d, 2468)
+    C.pin_seed(d, 2468)            # same seed: fine
+    with pytest.raises(ValueError, match="random-seed"):
+        C.pin_seed(d, 1234)
+
+
+def test_device_forensics_snapshot():
+    from xvector_tpu.utils.profiling import device_forensics
+    snap = device_forensics()
+    assert snap["backend"]
+    assert snap["process_count"] >= 1
+    assert len(snap["devices"]) >= 1
+    assert "memory_stats" in snap

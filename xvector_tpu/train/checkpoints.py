@@ -23,7 +23,27 @@ if TYPE_CHECKING:
 
 __all__ = ["save_iteration", "restore_latest", "restore_into",
            "collect_garbage", "mark_final", "iteration_dirs",
-           "is_complete"]
+           "is_complete", "pin_seed"]
+
+
+def pin_seed(work_dir: str, seed: int):
+    """Seed-pinning guard (``train_dnn.py:323-338``): the first run writes
+    ``srand`` into the work dir; a resume with a different ``random_seed``
+    would silently diverge the allocation/shuffle/dropout streams, so it
+    raises instead."""
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(work_dir), "srand")
+    if os.path.exists(path):
+        stored = int(open(path).read().strip())
+        if stored != seed:
+            raise ValueError(
+                f"work dir {work_dir} was trained with --random-seed "
+                f"{stored}; resuming with {seed} would diverge the "
+                f"data/dropout streams (reference guard "
+                f"train_dnn.py:323-338)")
+        return
+    with open(path, "w") as f:
+        f.write(f"{seed}\n")
 
 
 def _iter_dir(work_dir: str, it: int) -> str:

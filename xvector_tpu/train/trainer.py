@@ -286,7 +286,7 @@ class Trainer:
     def _log(self, record: Dict[str, Any]):
         record["time"] = time.time()
         with open(self._metrics_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+            f.write(json.dumps(record, default=str) + "\n")
 
     # -- core loops --------------------------------------------------------
     def train_one_iteration(self, it: int, batches: Iterable, lr: float,
@@ -403,6 +403,7 @@ class Trainer:
         num_iters = cfg.num_epochs * num_archives
         to_process = cfg.num_epochs * num_archives
 
+        checkpoints.pin_seed(self.work_dir, cfg.random_seed)
         start_iter = checkpoints.restore_latest(self, start_iter)
 
         for it in range(start_iter, num_iters):
@@ -423,10 +424,17 @@ class Trainer:
                         shrink)
                     break
                 except Exception:
+                    # device post-mortem next to the retry record (the
+                    # reference dumps nvidia-smi/qstat on job failure,
+                    # ze_utils.py:570-623)
+                    from ..utils.profiling import device_forensics
                     if attempt >= cfg.max_iteration_retries:
+                        self._log({"iteration": it, "kind": "forensics",
+                                   **device_forensics()})
                         raise
                     self._log({"iteration": it, "kind": "retry",
-                               "attempt": attempt})
+                               "attempt": attempt,
+                               "forensics": device_forensics()})
                     time.sleep(cfg.retry_backoff_s)
                     # roll back to the last complete checkpoint so the
                     # rerun starts from a consistent state

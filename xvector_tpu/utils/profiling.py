@@ -17,7 +17,7 @@ import time
 from collections import defaultdict
 from typing import Dict, Iterator
 
-__all__ = ["StepTimer", "trace"]
+__all__ = ["StepTimer", "trace", "device_forensics"]
 
 
 class StepTimer:
@@ -61,3 +61,37 @@ def trace(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_forensics() -> Dict:
+    """Post-mortem snapshot of the accelerator runtime, the TPU-shaped
+    equivalent of the reference's GPU-unavailability dump (nvidia-smi
+    parse + ``qstat -xml``, ``ze_utils.py:570-623``): backend, devices,
+    per-device memory stats, live-buffer census, and the distributed
+    topology.  Safe to call from any failure path — every probe is
+    individually guarded."""
+    import jax
+    out: Dict = {}
+    try:
+        out["backend"] = jax.default_backend()
+        out["process_index"] = jax.process_index()
+        out["process_count"] = jax.process_count()
+        out["devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:          # runtime itself may be down
+        out["runtime_error"] = repr(e)
+        return out
+    mem = {}
+    for d in jax.local_devices():
+        try:
+            mem[str(d)] = d.memory_stats()
+        except Exception:
+            mem[str(d)] = None      # backend without memory_stats
+    out["memory_stats"] = mem
+    try:
+        bufs = jax.live_arrays()
+        out["live_arrays"] = len(bufs)
+        out["live_bytes"] = int(sum(
+            b.size * b.dtype.itemsize for b in bufs))
+    except Exception:
+        pass
+    return out

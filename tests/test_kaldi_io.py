@@ -157,6 +157,20 @@ def test_compressed_matrix_write_roundtrip(tmp_path):
             assert p.stat().st_size < mat.nbytes / 2.5
 
 
+def test_compressed_matrix_write_skewed_columns(tmp_path):
+    """Regression: a column whose 75th percentile sits at the global max
+    while it also holds the global min used to overflow the percentile
+    ladder, wrap the uint16 header, and decode the min as the max."""
+    mat = np.full((12, 3), 10.0, np.float32)
+    mat[0, 0] = 0.0                       # lone global min in column 0
+    p = tmp_path / "skew.ark"
+    with open(p, "wb") as f:
+        kio.write_mat(f, mat, key="u", compress=True)
+    (_, got), = list(kio.read_mat_ark(str(p)))
+    assert abs(got[0, 0] - 0.0) < 0.2     # was ~10.0 before the fix
+    assert np.abs(got - mat).max() < 0.2
+
+
 def test_compressed_matrix_write_constant(tmp_path):
     mat = np.full((40, 5), 3.25, np.float32)
     p = tmp_path / "const.ark"

@@ -66,6 +66,9 @@ class RecipeConfig:
 class Recipe:
     def __init__(self, cfg: RecipeConfig):
         self.cfg = cfg
+        # augmented-utt → clean-utt map filled by augment(); consumed by
+        # make_features for clean-VAD inheritance (exact, not name-based)
+        self._aug_base: Dict[str, str] = {}
         os.makedirs(cfg.work_dir, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -103,6 +106,7 @@ class Recipe:
             for kind in available:
                 aug_utt2spk[f"{utt}-{kind}"] = data.utt2spk[utt]
                 recipes[f"{utt}-{kind}"] = (utt, kind, int(rng.randint(2**31)))
+                self._aug_base[f"{utt}-{kind}"] = utt
 
         def provider(utt: str) -> np.ndarray:
             if utt in recipes:
@@ -142,16 +146,17 @@ class Recipe:
                                                               self.cfg.vad))
                     fw.write(utt, np.asarray(m))
                     n_frames[utt] = int(m.shape[0])
-            # augmented copies (utt-suffix naming, run.sh:130/156-163)
-            # inherit the CLEAN utterance's VAD — the reference copies
-            # vad.scp from the clean list instead of recomputing it on
-            # corrupted audio (run.sh:141, run.sh:172-175 comment)
+            # copies made by augment() inherit the CLEAN utterance's VAD —
+            # the reference copies vad.scp from the clean list instead of
+            # recomputing it on corrupted audio (run.sh:141, run.sh:172-175
+            # comment); the explicit map avoids misfiring on corpora whose
+            # genuine utt ids happen to contain '-'
             with kio.ArkWriter(self._p(f"vad_{split}.ark"),
                                self._p(f"vad_{split}.ark.scp")) as vw:
                 for utt in data.utts:
-                    base = utt.rsplit("-", 1)[0]
+                    base = self._aug_base.get(utt)
                     v = vads[utt]
-                    if base != utt and base in vads \
+                    if base is not None and base in vads \
                             and len(vads[base]) == len(v):
                         v = vads[base]
                     vw.write(utt, v)
@@ -282,20 +287,26 @@ class Recipe:
         trainer = Trainer(tcfg, self._p("exp"), mesh=mesh,
                           feat_dim=self.cfg.mfcc.num_ceps)
 
+        # plans and the scp→offset map are identical across epochs/retries:
+        # parse once, reuse every iteration
+        stream_cache: Dict[int, alloclib.ArchivePlan] = {}
+        stream_src: Dict[str, Tuple[str, int]] = {}
+
         def archive_batches(i):
             if self.cfg.stream_egs:
-                lines = open(self._p(f"egs.{i}.ranges")).read().splitlines()
-                plan = alloclib.ArchivePlan.from_ranges_lines(
-                    i, lines,
-                    length_bucket=self.cfg.allocator.length_bucket)
-                scp = self._p("egs_feats.ark") + ".scp"
-                src = {}
-                for line in open(scp):
-                    utt, loc = line.split()
-                    path, off = loc.rsplit(":", 1)
-                    src[utt] = (path, int(off))
+                if not stream_src:
+                    for line in open(self._p("egs_feats.ark") + ".scp"):
+                        utt, loc = line.split()
+                        path, off = loc.rsplit(":", 1)
+                        stream_src[utt] = (path, int(off))
+                if i not in stream_cache:
+                    lines = open(
+                        self._p(f"egs.{i}.ranges")).read().splitlines()
+                    stream_cache[i] = alloclib.ArchivePlan.from_ranges_lines(
+                        i, lines,
+                        length_bucket=self.cfg.allocator.length_bucket)
                 return archlib.stream_plan_loader(
-                    plan, utt2src=src,
+                    stream_cache[i], utt2src=stream_src,
                     shuffle_seed=self.cfg.allocator.seed + i)
             reader = archlib.ArchiveReader(self._p(f"egs.{i}.xta"))
             return archlib.PrefetchLoader(reader)
@@ -408,17 +419,31 @@ def _synthetic_corpus(num_spk: int, utts_per_spk: int, seed: int = 0):
 
 class _LazyWaves:
     """List-like random-access view over audio paths: waves are decoded on
-    demand, so corpus-scale MUSAN/RIR sets never sit in RAM at once."""
+    demand, so corpus-scale MUSAN/RIR sets never sit in RAM at once.
 
-    def __init__(self, paths):
+    ``target_sr`` resamples on the fly (linear interpolation) when the
+    stored rate differs — stock MUSAN/RIRS ship at 16 kHz while the SRE
+    recipe runs at 8 kHz; the reference resamples via
+    ``--source-sampling-rate`` (run.sh:135) / sox pipes, and silently
+    mixing mismatched rates would corrupt the augmentation."""
+
+    def __init__(self, paths, target_sr: int | None = None):
         self._paths = list(paths)
+        self._target_sr = target_sr
 
     def __len__(self):
         return len(self._paths)
 
     def __getitem__(self, i):
         from ..io.wav import load_wave
-        return np.asarray(load_wave(self._paths[i])[0], np.float32)
+        samples, sr = load_wave(self._paths[i])
+        samples = np.asarray(samples, np.float32)
+        if self._target_sr and sr and sr != self._target_sr:
+            n_out = int(round(len(samples) * self._target_sr / sr))
+            samples = np.interp(
+                np.arange(n_out) * (len(samples) - 1) / max(n_out - 1, 1),
+                np.arange(len(samples)), samples).astype(np.float32)
+        return samples
 
 
 def main(argv=None):
@@ -495,10 +520,11 @@ def main(argv=None):
 
     if args.musan_dir or args.rirs_dir:
         from ..data import corpora
+        sr = cfg.mfcc.sample_rate
         rirs = noises = musics = speeches = None
         if args.rirs_dir:
             rooms = corpora.make_rirs(args.rirs_dir)
-            rirs = {room: _LazyWaves(paths)
+            rirs = {room: _LazyWaves(paths, target_sr=sr)
                     for room, paths in rooms.items() if paths} or None
         if args.musan_dir:
             musan = corpora.make_musan(args.musan_dir)
@@ -507,7 +533,8 @@ def main(argv=None):
                 if cat not in musan:
                     return None
                 dd = musan[cat]
-                return _LazyWaves([dd.wav[u] for u in dd.utts]) or None
+                return _LazyWaves([dd.wav[u] for u in dd.utts],
+                                  target_sr=sr) or None
 
             noises, musics, speeches = lazy("noise"), lazy("music"), \
                 lazy("speech")

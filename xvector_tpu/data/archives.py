@@ -182,12 +182,15 @@ def iter_plan_minibatches(plan: ArchivePlan,
             cache[utt] = np.asarray(fetch(utt), dtype=np.float32)
         return cache[utt]
 
+    feat_dim = None
+    if use_native and plan.minibatches:
+        feat_dim = native.mat_shape(
+            *utt2src[plan.minibatches[0].chunks[0].utt])[1]
     for i in order:
         mb = plan.minibatches[i]
         if use_native:
             sources = [(utt2src[c.utt][0], utt2src[c.utt][1], c.offset,
                         c.length) for c in mb.chunks]
-            feat_dim = native.read_mat(*utt2src[mb.chunks[0].utt]).shape[1]
             feats = native.materialize_chunks(sources, mb.padded_length,
                                               feat_dim)
             labels = np.fromiter((c.label for c in mb.chunks), np.int32,
@@ -234,7 +237,7 @@ def materialize_archive_native(plan: ArchivePlan, path: str,
             sources.append((ark, off, c.offset, c.length))
             labels[i] = c.label
         if feat_dim is None:
-            feat_dim = native.read_mat(*utt2src[mb.chunks[0].utt]).shape[1]
+            feat_dim = native.mat_shape(*utt2src[mb.chunks[0].utt])[1]
         feats = native.materialize_chunks(sources, mb.padded_length,
                                           feat_dim)
         out.append((feats, labels, mb.length))

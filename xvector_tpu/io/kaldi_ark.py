@@ -286,12 +286,15 @@ def _write_compressed_mat(fd, mat: np.ndarray):
                     _float_to_uint16(srt[:, 3 * quarter], gmin, grange),
                     _float_to_uint16(srt[:, rows - 1], gmin, grange)],
                    axis=1).astype(np.int64)
+    # force strictly increasing within [0, 65535]: cap each entry below
+    # the one above (so the ladder can't overflow the top), then push each
+    # entry above the one below (so it can't underflow past 0)
+    for i in range(2, -1, -1):
+        hdr[:, i] = np.minimum(hdr[:, i], hdr[:, i + 1] - 1)
+    hdr[:, 0] = np.maximum(hdr[:, 0], 0)
     for i in range(1, 4):
         hdr[:, i] = np.maximum(hdr[:, i], hdr[:, i - 1] + 1)
-    overflow = hdr[:, 3] > 65535              # shift the ladder back down
-    for i in range(4):
-        hdr[:, i] = np.where(overflow, hdr[:, i] - (hdr[:, 3] - 65535),
-                             hdr[:, i])
+    hdr = np.minimum(hdr, 65535)
     hdr = hdr.astype("<u2")
     fd.write(np.ascontiguousarray(hdr).tobytes())
     c0, c25, c75, c100 = (
@@ -318,15 +321,13 @@ def write_mat(file_or_fd, mat: np.ndarray, key: str = "",
         fd.write(b"\x00B")
         if compress:
             _write_compressed_mat(fd, mat)
-        elif mat.dtype in (np.float64,):
-            fd.write(b"DM ")
-            data = mat.astype("<f8", copy=False)
-            _write_basic_int32(fd, mat.shape[0])
-            _write_basic_int32(fd, mat.shape[1])
-            fd.write(np.ascontiguousarray(data).tobytes())
         else:
-            fd.write(b"FM ")
-            data = mat.astype("<f4", copy=False)
+            if mat.dtype in (np.float64,):
+                fd.write(b"DM ")
+                data = mat.astype("<f8", copy=False)
+            else:
+                fd.write(b"FM ")
+                data = mat.astype("<f4", copy=False)
             _write_basic_int32(fd, mat.shape[0])
             _write_basic_int32(fd, mat.shape[1])
             fd.write(np.ascontiguousarray(data).tobytes())

@@ -67,6 +67,20 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def mat_shape(path: str, offset: int = 0) -> Tuple[int, int]:
+    """(rows, cols) of a Kaldi matrix at a byte offset — header-only probe,
+    no payload decode."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("libxta unavailable")
+    rows = ctypes.c_int32()
+    cols = ctypes.c_int32()
+    if lib.xta_mat_shape(path.encode(), offset, ctypes.byref(rows),
+                         ctypes.byref(cols)):
+        raise IOError(f"xta_mat_shape failed for {path}:{offset}")
+    return rows.value, cols.value
+
+
 def read_mat(path: str, offset: int = 0) -> np.ndarray:
     """Native Kaldi matrix read (FM/DM/CM) at a byte offset."""
     lib = get_lib()

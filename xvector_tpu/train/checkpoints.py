@@ -34,7 +34,8 @@ def pin_seed(work_dir: str, seed: int):
     os.makedirs(work_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(work_dir), "srand")
     if os.path.exists(path):
-        stored = int(open(path).read().strip())
+        with open(path) as f:
+            stored = int(f.read().strip())
         if stored != seed:
             raise ValueError(
                 f"work dir {work_dir} was trained with --random-seed "
@@ -42,8 +43,12 @@ def pin_seed(work_dir: str, seed: int):
                 f"data/dropout streams (reference guard "
                 f"train_dnn.py:323-338)")
         return
-    with open(path, "w") as f:
+    # atomic: a crash mid-write must not leave a partial file that blocks
+    # every future resume
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         f.write(f"{seed}\n")
+    os.replace(tmp, path)
 
 
 def _iter_dir(work_dir: str, it: int) -> str:

@@ -306,3 +306,80 @@ def test_recipe_stream_egs_training_parity(tmp_path):
     s1 = tmp_path / "s1"
     assert (s1 / "egs.0.ranges").exists()
     assert not (s1 / "egs.0.xta").exists()
+
+
+# ---------------------------------------------------------------------------
+# Dormant reference strategies (create_egs.py:285-474), selectable here
+# ---------------------------------------------------------------------------
+
+def test_kaldi_original_strategy():
+    """kaldi_original: one length per archive, ≤ num_repeats draws per
+    speaker per archive, no overlap control, chunks within bounds."""
+    utt2len, utt2label = _toy_corpus()
+    cfg = A.AllocatorConfig(min_frames=100, max_frames=200, minibatch_size=8,
+                            num_repeats=4, frames_per_iter=4_000, seed=3,
+                            strategy="kaldi_original")
+    plans = list(A.allocate_archives(utt2len, utt2label, cfg,
+                                     num_archives=3))
+    assert len(plans) == 3
+    for plan in plans:
+        lengths = {mb.length for mb in plan.minibatches}
+        assert len(lengths) == 1                  # single archive length
+        draws = collections.Counter(
+            c.label for mb in plan.minibatches for c in mb.chunks)
+        assert max(draws.values()) <= cfg.num_repeats
+        for mb in plan.minibatches:
+            for c in mb.chunks:
+                assert 0 <= c.offset
+                assert c.offset + c.length <= utt2len[c.utt]
+                assert c.label == utt2label[c.utt]
+
+
+def test_kaldi_original_deterministic_ladder():
+    """With length_strategy=deterministic the archive lengths follow the
+    geometric min→max ladder (create_egs.py:223-231)."""
+    utt2len, utt2label = _toy_corpus()
+    cfg = A.AllocatorConfig(min_frames=100, max_frames=400, minibatch_size=4,
+                            num_repeats=8, frames_per_iter=2_000, seed=3,
+                            strategy="kaldi_original",
+                            length_strategy="deterministic")
+    n = 4
+    plans = list(A.allocate_archives(utt2len, utt2label, cfg,
+                                     num_archives=n))
+    got = [p.minibatches[0].length for p in plans]
+    want = [A.deterministic_chunk_length(i, n, 100, 400) for i in range(n)]
+    assert got == want
+    assert got[0] == 100 and got[-1] == 400
+
+
+def test_whole_strategy_weighting_and_replacement():
+    """our_splitting: utterance-rich speakers draw more (log₅ weight);
+    utterances per speaker are sampled without replacement within a pool
+    refill cycle."""
+    # speaker 0 has 25 utts (log₅=2), speaker 1 has 1 utt (weight 1)
+    utt2len, utt2label = {}, {}
+    for u in range(25):
+        utt2len[f"rich_u{u}"] = 600
+        utt2label[f"rich_u{u}"] = 0
+    utt2len["poor_u0"] = 600
+    utt2label["poor_u0"] = 1
+    cfg = A.AllocatorConfig(min_frames=100, max_frames=100, minibatch_size=4,
+                            num_repeats=6, frames_per_iter=6_000, seed=5,
+                            strategy="whole")
+    (plan,) = list(A.allocate_archives(utt2len, utt2label, cfg,
+                                       num_archives=1))
+    draws = collections.Counter(
+        c.label for mb in plan.minibatches for c in mb.chunks)
+    # weight(rich)=num_repeats*1*2, weight(poor)=num_repeats*1*1
+    assert draws[0] > draws[1]
+    # without replacement: the first 25 rich draws are distinct utterances
+    rich_utts = [c.utt for mb in plan.minibatches for c in mb.chunks
+                 if c.label == 0][:25]
+    assert len(set(rich_utts)) == len(rich_utts)
+
+
+def test_unknown_strategy_rejected():
+    utt2len, utt2label = _toy_corpus()
+    cfg = A.AllocatorConfig(strategy="bogus")
+    with pytest.raises(ValueError):
+        list(A.allocate_archives(utt2len, utt2label, cfg, num_archives=1))

@@ -36,6 +36,15 @@ def get_args(argv=None):
     p.add_argument("--num-heldout-utts", type=int, default=200)
     p.add_argument("--accepted-overlap", type=float, default=0.2)
     p.add_argument("--random-seed", type=int, default=2468)
+    p.add_argument("--allocation-strategy", default="per_archive",
+                   choices=["per_archive", "kaldi_original", "whole"],
+                   help="per_archive = the reference's active "
+                        "our_splitting_per_archive; the other two are its "
+                        "dormant allocators (create_egs.py:285-474)")
+    p.add_argument("--randomize-chunk-length", default="true",
+                   choices=["true", "false"],
+                   help="false = geometric deterministic ladder "
+                        "(create_egs.py:223-231)")
     p.add_argument("--min-utt-frames", type=int, default=0,
                    help="drop shorter utterances before allocation")
     p.add_argument("--min-spk-utts", type=int, default=1)
@@ -55,7 +64,10 @@ def main(argv=None):
         num_repeats=args.num_repeats,
         frames_per_iter=int(args.frames_per_iter),
         accepted_overlap=args.accepted_overlap,
-        seed=args.random_seed)
+        seed=args.random_seed,
+        strategy=args.allocation_strategy,
+        length_strategy=("random" if args.randomize_chunk_length == "true"
+                         else "deterministic"))
     cfg = RecipeConfig(work_dir=args.egs_dir, allocator=alloc,
                        num_archives=args.num_train_archives or None,
                        num_valid_utts=args.num_heldout_utts,

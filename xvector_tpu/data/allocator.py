@@ -24,10 +24,28 @@ multiple of ``length_bucket`` and chunks carry their true length, so each
 archive yields a small closed set of padded minibatch shapes → a bounded
 number of XLA compilations, with masked pooling/BN handling the pad frames.
 Setting ``length_bucket=1`` recovers exact reference behaviour.
+
+Besides the active per-archive strategy the reference carries two dormant
+allocators (selected at ``create_egs.py:587``; both write the older
+6-column nnet3 ranges format and leave minibatch assembly to the
+consumer).  Both are implemented here as selectable ``strategy`` values,
+adapted to this framework's minibatch-plan contract:
+
+* ``kaldi_original`` (``create_egs.py:285-374``): ONE chunk length per
+  archive; the draw pool is ``num_repeats`` copies of every speaker,
+  shuffled, consumed without refill; utterances are drawn uniformly WITH
+  replacement; offsets are uniform with no overlap control.
+* ``whole`` (``our_splitting``, ``create_egs.py:377-474``): one length per
+  archive; per-speaker pool weight
+  ``num_repeats · (max_frames/length) · max(log₅|utts|, 1)`` so longer
+  archives and utterance-rich speakers draw proportionally more;
+  utterances without replacement; overlap-minimised offsets whose
+  bookkeeping resets per archive.
 """
 
 from __future__ import annotations
 
+import math
 import random
 import re
 from dataclasses import dataclass
@@ -124,6 +142,10 @@ class AllocatorConfig:
     # uniform draw) or "deterministic" (create_egs.py:223-231: geometric
     # interpolation min→max across archives, one length per archive)
     length_strategy: str = "random"
+    # allocation strategy: "per_archive" (the reference's active
+    # our_splitting_per_archive), "kaldi_original", or "whole"
+    # (our_splitting) — see module docstring
+    strategy: str = "per_archive"
 
 
 class _SpeakerSampler:
@@ -183,6 +205,76 @@ def deterministic_chunk_length(archive_id: int, num_archives: int,
                ** (archive_id / (num_archives - 1)) * min_frames + 0.5)
 
 
+def _archive_length(cfg: AllocatorConfig, rng: random.Random,
+                    arch_i: int, num_archives: int) -> int:
+    """One chunk length for a whole archive (kaldi_original/whole
+    strategies, create_egs.py:295-302 / :394-401)."""
+    if cfg.length_strategy == "deterministic":
+        return deterministic_chunk_length(arch_i, num_archives,
+                                          cfg.min_frames, cfg.max_frames)
+    return rng.randint(cfg.min_frames, cfg.max_frames)
+
+
+def _pack_minibatches(chunks: List[ChunkSpec], length: int,
+                      cfg: AllocatorConfig) -> Tuple[MinibatchPlan, ...]:
+    """Group a flat eg list (single shared length) into minibatch plans —
+    the adaptation step for the reference's two dormant strategies, whose
+    6-column ranges leave batching to the nnet3 consumer."""
+    padded = _round_up(length, cfg.length_bucket)
+    mbs = []
+    for i in range(0, len(chunks) - cfg.minibatch_size + 1,
+                   cfg.minibatch_size):
+        mbs.append(MinibatchPlan(tuple(chunks[i:i + cfg.minibatch_size]),
+                                 length, padded))
+    return tuple(mbs)
+
+
+def _allocate_whole_archive(utt2len: Dict[str, int], spk2utts,
+                            cfg: AllocatorConfig, rng: random.Random,
+                            num_archives: int) -> Iterator[ArchivePlan]:
+    """The two dormant whole-archive strategies (see module docstring)."""
+    kaldi = cfg.strategy == "kaldi_original"
+    sampler = _SpeakerSampler(spk2utts, rng)       # without-replacement
+    # log₅ utterance-count weight, constant across archives
+    # (create_egs.py:383)
+    spk_weight = {s: max(math.log(len(us)) / math.log(5.0), 1.0)
+                  for s, us in spk2utts.items()}
+    for arch_i in range(num_archives):
+        length = _archive_length(cfg, rng, arch_i, num_archives)
+        n_egs = int(cfg.frames_per_iter / length) + 1
+        if kaldi:
+            draw_pool = [s for s in spk2utts for _ in range(cfg.num_repeats)]
+        else:
+            weight = cfg.max_frames / length       # create_egs.py:405
+            draw_pool = [s for s in spk2utts
+                         for _ in range(int(cfg.num_repeats * weight
+                                            * spk_weight[s]))]
+        rng.shuffle(draw_pool)
+        overlaps = _OverlapTracker()               # reset per archive
+        chunks: List[ChunkSpec] = []
+        while len(chunks) < n_egs and draw_pool:
+            spk = draw_pool.pop()
+            if kaldi:
+                pool = [u for u in spk2utts[spk] if utt2len[u] >= length]
+                utt = rng.choice(pool) if pool else None
+            else:
+                utt = sampler.draw(spk, length, utt2len)
+            if utt is None:
+                continue
+            max_off = utt2len[utt] - length
+            off = rng.randint(0, max_off) if max_off > 0 else 0
+            if not kaldi:
+                b = base_utt(utt)
+                for _ in range(cfg.max_offset_attempts):
+                    if overlaps.overlap_frac(b, off, length) \
+                            <= cfg.accepted_overlap:
+                        break
+                    off = rng.randint(0, max_off) if max_off > 0 else 0
+                overlaps.add(b, off, length)
+            chunks.append(ChunkSpec(utt, off, length, spk))
+        yield ArchivePlan(arch_i, _pack_minibatches(chunks, length, cfg))
+
+
 def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
                       cfg: AllocatorConfig,
                       num_archives: int | None = None
@@ -207,6 +299,14 @@ def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
         num_archives = total * cfg.num_repeats // cfg.frames_per_iter + 1
 
     rng = random.Random(cfg.seed)
+
+    if cfg.strategy in ("kaldi_original", "whole"):
+        yield from _allocate_whole_archive(utt2len, spk2utts, cfg, rng,
+                                           num_archives)
+        return
+    if cfg.strategy != "per_archive":
+        raise ValueError(f"unknown allocation strategy {cfg.strategy!r}")
+
     overlaps = _OverlapTracker()
 
     for arch_i in range(num_archives):

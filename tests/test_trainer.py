@@ -143,3 +143,82 @@ def test_archive_pipeline_feeds_trainer(tmp_path):
         stats = tr.train_one_iteration(
             0, AR.PrefetchLoader(r), lr=1e-3, dropout=0.0, shrink=1.0)
     assert np.isfinite(stats["loss"])
+
+
+# ---------------------------------------------------------------------------
+# Final model combination (working version of the reference's disabled
+# stub, train_dnn.py:571-581 / ze_utils.py:76-108)
+# ---------------------------------------------------------------------------
+
+def test_combine_iterations_formula():
+    from xvector_tpu.train.combine import combine_iterations
+    # small run: combine over min(arch/2+1, iters/2) last iterations
+    got = combine_iterations(num_iters=10, num_archives=6)
+    # initial=min(6/2+1, 10/2)=4 ≤ max_models_combine → the reference's
+    # else branch recomputes n = min(max_models_combine, num_iters/2) = 5
+    # (ze_utils.py:104-106), i.e. the last 5 iterations
+    assert got == [6, 7, 8, 9, 10]
+    # subsampling kicks in when candidates exceed max_models_combine
+    got = combine_iterations(num_iters=100, num_archives=80,
+                             max_models_combine=5)
+    assert got[-1] == 100 and len(got) <= 9
+    assert all(1 <= m <= 100 for m in got)
+    # degenerate short runs still return at least the final iteration
+    assert combine_iterations(1, 1) == [1]
+
+
+def test_combine_pytrees_weights():
+    import jax.numpy as jnp
+    from xvector_tpu.train.combine import combine_pytrees
+    trees = [{"a": jnp.full((3,), float(i))} for i in range(4)]
+    out = combine_pytrees(trees, jnp.asarray([0.5, 0.5, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.5)
+
+
+def test_final_combination_end_to_end(tmp_path):
+    """Training with final_combine installs model_combined as model_final
+    and the combined model scores ≥ the last checkpoint on the
+    combination data."""
+    tr = _mk_trainer(tmp_path, num_epochs=2, final_combine=True,
+                     combine_opt_steps=24, block_size=2)
+    batches = _synthetic_batches(num_batches=3)
+    # diagnostics from the same class means (seed fixes the means inside
+    # _synthetic_batches, so a different seed would be unlearnable noise)
+    diag = _synthetic_batches(num_batches=2)
+    final = tr.train(lambda i: iter(batches), num_archives=3,
+                     valid_batches=lambda: iter(diag),
+                     train_subset_batches=lambda: iter(diag))
+    assert final == 6
+    work = tr.work_dir
+    link = os.path.join(work, "model_final")
+    assert os.path.islink(link)
+    assert os.readlink(link) == "model_combined"
+    assert C.is_complete(os.path.join(work, "model_combined"))
+    # combine record in metrics with normalized weights
+    recs = [json.loads(l) for l in open(os.path.join(work,
+                                                     "metrics.jsonl"))]
+    comb = [r for r in recs if r.get("kind") == "combine"]
+    assert len(comb) == 1
+    w = comb[0]["weights"]
+    assert abs(sum(w) - 1.0) < 1e-5 and len(w) == len(comb[0]["iterations"])
+    # the combined model evaluates no worse than the final iteration
+    # checkpoint on the combination data
+    comb_eval = tr.evaluate(iter(diag))
+    C.restore_into(tr, os.path.join(work, "model_6"))
+    last_eval = tr.evaluate(iter(diag))
+    assert comb_eval["loss"] <= last_eval["loss"] + 1e-3
+
+
+def test_combine_candidates_survive_gc(tmp_path):
+    """GC keeps combination candidates (train_dnn.py:565-567 semantics)."""
+    tr = _mk_trainer(tmp_path, num_epochs=2, final_combine=True,
+                     preserve_model_interval=0, combine_opt_steps=8,
+                     block_size=2)
+    batches = _synthetic_batches(num_batches=3)
+    tr.train(lambda i: iter(batches), num_archives=3,
+             train_subset_batches=lambda: iter(batches[:1]))
+    from xvector_tpu.train.combine import combine_iterations
+    want = combine_iterations(6, 3)
+    have = {it for it, p in C.iteration_dirs(tr.work_dir)
+            if C.is_complete(p)}
+    assert set(want) <= have

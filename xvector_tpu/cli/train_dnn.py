@@ -56,6 +56,12 @@ def get_args(argv=None):
     p.add_argument("--dir", dest="work_dir", required=True)
     p.add_argument("--feat-dim", type=int, default=0,
                    help="0 = infer from the first archive")
+    p.add_argument("--do-final-combination", type=str2bool, default=False,
+                   help="optimize combination weights over the last "
+                        "iterations' checkpoints (the reference parses "
+                        "this flag but raises if set, "
+                        "train_dnn.py:571-581; here it works)")
+    p.add_argument("--max-models-combine", type=int, default=20)
     return p.parse_args(argv)
 
 
@@ -78,7 +84,9 @@ def main(argv=None):
         preserve_model_interval=args.preserve_model_interval,
         compute_dtype=args.compute_dtype,
         max_param_change=args.max_param_change,
-        block_size=args.block_size)
+        block_size=args.block_size,
+        final_combine=args.do_final_combination,
+        max_models_combine=args.max_models_combine)
 
     paths = sorted(glob.glob(os.path.join(args.egs_dir, "egs.*.xta")))
     if not paths:

@@ -23,7 +23,7 @@ if TYPE_CHECKING:
 
 __all__ = ["save_iteration", "restore_latest", "restore_into",
            "collect_garbage", "mark_final", "iteration_dirs",
-           "is_complete", "pin_seed"]
+           "is_complete", "pin_seed", "load_pytrees", "save_named"]
 
 
 def pin_seed(work_dir: str, seed: int):
@@ -85,6 +85,33 @@ def restore_into(trainer: "Trainer", path: str):
     trainer.opt_state = restored["opt_state"]
 
 
+def load_pytrees(trainer: "Trainer", path: str):
+    """Read a checkpoint's (params, state) WITHOUT mutating the trainer —
+    used by final combination to gather candidate models."""
+    ckpt = os.path.join(path, "ckpt")
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {"params": trainer.params, "state": trainer.state,
+                  "opt_state": trainer.opt_state}
+        restored = ckptr.restore(ckpt, target)
+    return restored["params"], restored["state"]
+
+
+def save_named(trainer: "Trainer", name: str):
+    """Save the trainer's live pytrees under ``<work_dir>/<name>`` with the
+    same layout as iteration checkpoints (restorable by restore_into)."""
+    d = os.path.join(os.path.abspath(trainer.work_dir), name)
+    ckpt = os.path.join(d, "ckpt")
+    if os.path.exists(ckpt):
+        shutil.rmtree(ckpt)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt, {"params": trainer.params,
+                          "state": trainer.state,
+                          "opt_state": trainer.opt_state})
+    with open(os.path.join(d, "done"), "w") as f:
+        f.write("done\n")
+    return d
+
+
 def iteration_dirs(work_dir: str):
     out = []
     if not os.path.isdir(work_dir):
@@ -109,20 +136,25 @@ def restore_latest(trainer: "Trainer", start_iter: int = 0) -> int:
 
 
 def collect_garbage(work_dir: str, current_iter: int,
-                    preserve_interval: int):
+                    preserve_interval: int, keep=()):
     """Keep the last two iterations + every preserve_interval-th
-    (ze_utils.py:186-194)."""
+    (ze_utils.py:186-194) + explicit ``keep`` iterations (the combination
+    candidate set, train_dnn.py:565-567)."""
+    keep = set(keep)
     for it, path in iteration_dirs(work_dir):
-        if it >= current_iter - 1:
+        if it >= current_iter - 1 or it in keep:
             continue
         if preserve_interval > 0 and it % preserve_interval == 0:
             continue
         shutil.rmtree(path, ignore_errors=True)
 
 
-def mark_final(work_dir: str, final_iter: int):
+def mark_final(work_dir: str, final_iter):
+    """Point ``model_final`` at iteration ``final_iter`` (int) or at a
+    named checkpoint dir (str, e.g. ``model_combined``)."""
     link = os.path.join(work_dir, "model_final")
-    target = f"model_{final_iter}"
+    target = (f"model_{final_iter}" if isinstance(final_iter, int)
+              else final_iter)
     if os.path.islink(link) or os.path.exists(link):
         os.remove(link)
     os.symlink(target, link)

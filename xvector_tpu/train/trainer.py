@@ -77,6 +77,13 @@ class TrainConfig:
     fused_conv_bwd: bool = False           # Pallas fused-read conv
     # backward (ops/conv_bwd.py). Opt-in: single-device TPU graphs only —
     # pallas_call has no GSPMD partitioning rule for sharded meshes.
+    final_combine: bool = False            # working version of the
+    # reference's disabled final model combination (train_dnn.py:571-581
+    # raises; ze_utils.py:164-183 averaging is a stub): optimize convex
+    # combination weights over the last iterations' checkpoints on the
+    # train-subset diagnostics data (see train/combine.py)
+    max_models_combine: int = 20           # ze_utils.py:76 default
+    combine_opt_steps: int = 80
 
 
 def _device_mask(batch_shape, t_len, n_rows):
@@ -403,6 +410,12 @@ class Trainer:
         num_iters = cfg.num_epochs * num_archives
         to_process = cfg.num_epochs * num_archives
 
+        combine_set: List[int] = []
+        if cfg.final_combine:
+            from . import combine as combinelib
+            combine_set = combinelib.combine_iterations(
+                num_iters, num_archives, cfg.max_models_combine)
+
         checkpoints.pin_seed(self.work_dir, cfg.random_seed)
         start_iter = checkpoints.restore_latest(self, start_iter)
 
@@ -450,6 +463,43 @@ class Trainer:
                 self._log({"iteration": it, "kind": "train_subset", **v})
             checkpoints.save_iteration(self, it + 1)
             checkpoints.collect_garbage(
-                self.work_dir, it + 1, cfg.preserve_model_interval)
-        checkpoints.mark_final(self.work_dir, num_iters)
+                self.work_dir, it + 1, cfg.preserve_model_interval,
+                keep=combine_set)
+        if combine_set:
+            self._final_combine(combine_set,
+                                train_subset_batches or valid_batches)
+        else:
+            checkpoints.mark_final(self.work_dir, num_iters)
         return num_iters
+
+    def _final_combine(self, combine_set: List[int], batches_fn):
+        """Optimize combination weights over the candidate iterations'
+        checkpoints on the diagnostics subset and install the result as
+        ``model_combined`` → ``model_final``."""
+        from . import combine as combinelib
+        available = {it: path
+                     for it, path in checkpoints.iteration_dirs(self.work_dir)
+                     if checkpoints.is_complete(path)}
+        cands = [it for it in combine_set if it in available]
+        if not cands or batches_fn is None:
+            checkpoints.mark_final(self.work_dir, max(available) if available
+                                   else 0)
+            return
+        params_list, state_list = [], []
+        for it in cands:
+            p, s = checkpoints.load_pytrees(self, available[it])
+            params_list.append(p)
+            state_list.append(s)
+        batches = []
+        for feats, labels, true_len in batches_fn():
+            feats, labels, n_rows = self._pad_rows(feats, labels)
+            batches.append((feats, labels, true_len, n_rows))
+        params, state, info = combinelib.optimize_combination(
+            self.model_cfg, params_list, state_list, batches,
+            compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            steps=self.cfg.combine_opt_steps)
+        self.params, self.state = params, state
+        self._place_all()            # restore mesh shardings on the result
+        checkpoints.save_named(self, "model_combined")
+        checkpoints.mark_final(self.work_dir, "model_combined")
+        self._log({"kind": "combine", "iterations": cands, **info})

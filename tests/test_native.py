@@ -89,3 +89,53 @@ def test_native_materialize_bad_range(tmp_path):
     with pytest.raises(IOError):
         native.materialize_chunks([(path, off, 5, 20)], pad_len=32,
                                   feat_dim=4)
+
+
+def test_native_ark_stream_parity(tmp_path):
+    """xta_stream_* yields the same (key, matrix) sequence as the Python
+    read_mat_ark, including compressed entries."""
+    rng = np.random.RandomState(0)
+    ark = str(tmp_path / "s.ark")
+    mats = {f"utt{i:03d}": rng.randn(20 + i, 13).astype(np.float32)
+            for i in range(10)}
+    with kio.ArkWriter(ark) as w:
+        for i, (k, m) in enumerate(mats.items()):
+            w.write(k, m)
+    got = list(native.ArkStream(ark))
+    want = list(kio.read_mat_ark(ark))
+    assert [k for k, _ in got] == [k for k, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_ark_stream_compressed(tmp_path):
+    rng = np.random.RandomState(1)
+    ark = str(tmp_path / "c.ark")
+    with kio.ArkWriter(ark, compress=True) as w:
+        w.write("a", rng.randn(50, 23).astype(np.float32))
+        w.write("b", rng.randn(9, 23).astype(np.float32))
+    got = dict(native.ArkStream(ark))
+    want = dict(kio.read_mat_ark(ark))
+    assert set(got) == {"a", "b"}
+    for k in got:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+
+
+def test_read_mat_ark_fast_dispatch(tmp_path):
+    """read_mat_ark_fast: native for plain files, fallback for pipes, and
+    the ark: prefix is handled."""
+    rng = np.random.RandomState(2)
+    ark = str(tmp_path / "d.ark")
+    with kio.ArkWriter(ark) as w:
+        w.write("x", rng.randn(7, 5).astype(np.float32))
+    for spec in (ark, f"ark:{ark}", f"cat {ark} |"):
+        out = dict(kio.read_mat_ark_fast(spec))
+        assert list(out) == ["x"] and out["x"].shape == (7, 5)
+
+
+def test_native_ark_stream_malformed(tmp_path):
+    bad = str(tmp_path / "bad.ark")
+    with open(bad, "wb") as f:
+        f.write(b"key notbinary")
+    with pytest.raises(IOError):
+        list(native.ArkStream(bad))

@@ -85,7 +85,7 @@ def main(argv=None):
     def stream():
         reader = (kio.read_mat_scp(args.feats_rspecifier)
                   if args.feats_rspecifier.startswith("scp")
-                  else kio.read_mat_ark(args.feats_rspecifier))
+                  else kio.read_mat_ark_fast(args.feats_rspecifier))
         for i, (utt, feats) in enumerate(reader):
             if args.num_shards > 1 and i % args.num_shards != args.shard:
                 continue

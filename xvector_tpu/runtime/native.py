@@ -59,6 +59,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64]
     lib.xta_materialize.restype = ctypes.c_int
     lib.xta_version.restype = ctypes.c_int
+    if lib.xta_version() >= 2:
+        lib.xta_stream_open.argtypes = [ctypes.c_char_p]
+        lib.xta_stream_open.restype = ctypes.c_void_p
+        lib.xta_stream_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.xta_stream_next.restype = ctypes.c_int
+        lib.xta_stream_data.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.xta_stream_data.restype = ctypes.c_int
+        lib.xta_stream_close.argtypes = [ctypes.c_void_p]
+        lib.xta_stream_close.restype = None
     _lib = lib
     return _lib
 
@@ -99,6 +111,66 @@ def read_mat(path: str, offset: int = 0) -> np.ndarray:
     if rc:
         raise IOError(f"xta_read_mat failed ({rc}) for {path}:{offset}")
     return out
+
+
+def stream_supported() -> bool:
+    lib = get_lib()
+    return lib is not None and lib.xta_version() >= 2
+
+
+class ArkStream:
+    """Sequential native iterator over a binary ark file: yields
+    ``(key, (rows, cols) float32 matrix)`` — the C++ replacement for the
+    Python ``read_mat_ark`` loop on the extraction hot path."""
+
+    _KEY_CAP = 1024
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        if lib is None or lib.xta_version() < 2:
+            raise RuntimeError("libxta streaming unavailable")
+        self._lib = lib
+        self._h = lib.xta_stream_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open ark {path}")
+        self._path = path
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Tuple[str, np.ndarray]:
+        if self._h is None:
+            raise StopIteration
+        key = ctypes.create_string_buffer(self._KEY_CAP)
+        rows = ctypes.c_int32()
+        cols = ctypes.c_int32()
+        rc = self._lib.xta_stream_next(self._h, key, self._KEY_CAP,
+                                       ctypes.byref(rows), ctypes.byref(cols))
+        if rc == 1:
+            self.close()
+            raise StopIteration
+        if rc:
+            self.close()
+            raise IOError(f"malformed ark entry in {self._path} ({rc})")
+        out = np.empty((rows.value, cols.value), np.float32)
+        rc = self._lib.xta_stream_data(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.size)
+        if rc:
+            self.close()
+            raise IOError(f"ark payload read failed in {self._path} ({rc})")
+        return key.value.decode("latin1"), out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.xta_stream_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def materialize_chunks(sources: Sequence[Tuple[str, int, int, int]],

@@ -15,6 +15,10 @@
 //                          fp16, and scatter into the caller's output
 //                          tensor.  OpenMP-parallel over chunks with a
 //                          per-thread matrix cache.
+//   * xta_stream_*       — sequential binary-ark iterator (the streaming
+//                          read loop of extraction, models.py:373 /
+//                          kaldi_io.read_mat_ark in the reference): one
+//                          pass, no per-entry reopen/seek.
 //
 // Build: make -C xvector_tpu/runtime   (g++ -O3 -march=native -fopenmp)
 
@@ -235,6 +239,111 @@ int xta_materialize(int64_t n, const char** paths, const int64_t* offsets,
   return status;
 }
 
-int xta_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Sequential ark stream: key<space>\0B<matrix> entries, decoded one by one.
+// ---------------------------------------------------------------------------
+
+struct XtaStream {
+  std::FILE* f = nullptr;
+  Matrix cur;          // decoded payload (CM only)
+  char fmt = 0;        // 'F' (float), 'D' (double), 'C' (compressed)
+  int32_t rows = 0, cols = 0;
+  bool pending = false;  // FM/DM payload not yet consumed from the stream
+};
+
+// Open a binary ark for sequential reading.  Returns nullptr on failure.
+void* xta_stream_open(const char* path) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  XtaStream* s = new XtaStream;
+  s->f = f;
+  // larger stdio buffer: ark payloads are ~100 KB sequential reads
+  std::setvbuf(f, nullptr, _IOFBF, 1 << 20);
+  return s;
+}
+
+// Advance to the next entry.  Writes the NUL-terminated key (capacity
+// key_cap) and the matrix dims.  FM/DM payloads are left in the stream and
+// decoded straight into the caller's buffer by xta_stream_data (single
+// copy); CM needs its column-major percentile decode, done here into a
+// scratch matrix.  Returns 0 on success, 1 at EOF, <0 on a malformed
+// entry.
+int xta_stream_next(void* handle, char* key, int64_t key_cap, int32_t* rows,
+                    int32_t* cols) {
+  XtaStream* s = static_cast<XtaStream*>(handle);
+  if (s->pending) {  // caller skipped the previous payload
+    const int64_t bytes =
+        (int64_t)s->rows * s->cols * (s->fmt == 'D' ? 8 : 4);
+    if (std::fseek(s->f, (long)bytes, SEEK_CUR)) return -8;
+    s->pending = false;
+  }
+  int64_t n = 0;
+  int ch = std::fgetc(s->f);
+  if (ch == EOF) return 1;
+  while (ch != EOF && ch != ' ') {
+    if (n + 1 >= key_cap) return -4;
+    key[n++] = (char)ch;
+    ch = std::fgetc(s->f);
+  }
+  if (ch == EOF || n == 0) return -5;
+  key[n] = '\0';
+  char marker[2];
+  if (read_exact(s->f, marker, 2) || marker[0] != '\0' || marker[1] != 'B')
+    return -6;
+  char hdr[3];
+  if (read_exact(s->f, hdr, 3)) return -7;
+  if (!std::memcmp(hdr, "FM ", 3) || !std::memcmp(hdr, "DM ", 3)) {
+    unsigned char sz;
+    if (read_exact(s->f, &sz, 1) || sz != 4 ||
+        read_exact(s->f, &s->rows, 4) ||
+        read_exact(s->f, &sz, 1) || sz != 4 ||
+        read_exact(s->f, &s->cols, 4))
+      return -7;
+    s->fmt = hdr[0];
+    s->pending = true;
+  } else if (!std::memcmp(hdr, "CM ", 3)) {
+    // rewind over the 3-byte sub-header and reuse the seekless decoder
+    if (std::fseek(s->f, -3, SEEK_CUR)) return -8;
+    if (decode_mat(s->f, &s->cur)) return -7;
+    s->fmt = 'C';
+    s->rows = s->cur.rows;
+    s->cols = s->cur.cols;
+  } else {
+    return -2;
+  }
+  *rows = s->rows;
+  *cols = s->cols;
+  return 0;
+}
+
+// Write the current entry's payload into a caller buffer of cap floats.
+int xta_stream_data(void* handle, float* out, int64_t cap) {
+  XtaStream* s = static_cast<XtaStream*>(handle);
+  const int64_t count = (int64_t)s->rows * s->cols;
+  if (count > cap) return -3;
+  if (s->fmt == 'F') {
+    if (!s->pending) return -9;
+    s->pending = false;
+    return read_exact(s->f, out, (size_t)count * 4);
+  }
+  if (s->fmt == 'D') {
+    if (!s->pending) return -9;
+    s->pending = false;
+    std::vector<double> tmp((size_t)count);
+    if (read_exact(s->f, tmp.data(), tmp.size() * 8)) return -1;
+    for (int64_t i = 0; i < count; ++i) out[i] = (float)tmp[i];
+    return 0;
+  }
+  std::memcpy(out, s->cur.data.data(), (size_t)count * 4);
+  return 0;
+}
+
+void xta_stream_close(void* handle) {
+  XtaStream* s = static_cast<XtaStream*>(handle);
+  if (s->f) std::fclose(s->f);
+  delete s;
+}
+
+int xta_version() { return 2; }
 
 }  // extern "C"

@@ -21,25 +21,33 @@ import jax.numpy as jnp
 __all__ = ["softmax_ce", "accuracy", "am_softmax"]
 
 
-def _wmean(x: jnp.ndarray, weight) -> jnp.ndarray:
+def _wmean(x: jnp.ndarray, weight, axis_name=None) -> jnp.ndarray:
+    """Weighted mean over rows; with ``axis_name`` the numerator and
+    denominator are psum'd across the mesh axis (shard_map regions, where
+    each shard holds a slice of the batch)."""
     if weight is None:
-        return jnp.mean(x)
-    return jnp.sum(x * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        weight = jnp.ones(x.shape[0], x.dtype)
+    num = jnp.sum(x * weight)
+    den = jnp.sum(weight)
+    if axis_name:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,
-               weight=None) -> jnp.ndarray:
+               weight=None, axis_name=None) -> jnp.ndarray:
     """Mean cross-entropy with integer labels (B,). Stable log-softmax.
     ``weight`` (B,) excludes zero-weight pad rows (mesh batch padding)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return _wmean(nll, weight)
+    return _wmean(nll, weight, axis_name)
 
 
 def accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
-             weight=None) -> jnp.ndarray:
+             weight=None, axis_name=None) -> jnp.ndarray:
     return _wmean((jnp.argmax(logits, -1) == labels).astype(jnp.float32),
-                  weight)
+                  weight, axis_name)
 
 
 def sharded_softmax_ce(hidden: jnp.ndarray, weight: jnp.ndarray,
@@ -117,11 +125,13 @@ def sharded_softmax_ce(hidden: jnp.ndarray, weight: jnp.ndarray,
 def am_softmax(hidden: jnp.ndarray, weight: jnp.ndarray,
                labels: jnp.ndarray, scale: float = 30.0,
                margin: float = 0.2,
-               row_weight=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+               row_weight=None,
+               axis_name=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Additive-margin softmax loss.
 
     hidden: (B, D) embeddings; weight: (D, C) classifier (bias-free).
     Returns (mean loss, margin-free cosine logits for accuracy).
+    ``axis_name``: see ``softmax_ce`` (shard_map batch axis).
     """
     h = hidden / jnp.maximum(
         jnp.linalg.norm(hidden, axis=-1, keepdims=True), 1e-12)
@@ -129,4 +139,4 @@ def am_softmax(hidden: jnp.ndarray, weight: jnp.ndarray,
     cos = h @ w                                           # (B, C)
     onehot = jax.nn.one_hot(labels, cos.shape[-1], dtype=cos.dtype)
     logits = scale * (cos - margin * onehot)
-    return softmax_ce(logits, labels, row_weight), scale * cos
+    return softmax_ce(logits, labels, row_weight, axis_name), scale * cos

@@ -217,7 +217,7 @@ def _activate(cfg: TdnnConfig, layer: Params, x):
     raise ValueError(cfg.activation)
 
 
-def _masked_moments(x, mask, axes):
+def _masked_moments(x, mask, axes, axis_name=None):
     """f32 mean/var over `axes`, ignoring positions where mask==0.
 
     Elementwise products run in x's own dtype and only the REDUCTIONS
@@ -225,23 +225,32 @@ def _masked_moments(x, mask, axes):
     materialises an f32 copy, which halves the HBM traffic of every BN
     moment pass.  mask broadcasts against x with a trailing feature dim of
     1.  With a sharded batch under pjit the sums become cross-replica
-    psums automatically, giving exact global batch statistics.
+    psums automatically, giving exact global batch statistics; inside a
+    shard_map region pass ``axis_name`` to psum the sums/counts explicitly
+    (same global statistics, manual collectives).
     """
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
     if mask is None:
-        mean = jnp.mean(x, axes, dtype=jnp.float32)
-        var = jnp.mean(jnp.square(x), axes, dtype=jnp.float32) \
-            - jnp.square(mean)
+        count = 1.0
+        for a in axes:
+            count = count * x.shape[a]
+        count = allsum(jnp.float32(count))
+        mean = allsum(jnp.sum(x, axes, dtype=jnp.float32)) / count
+        var = allsum(jnp.sum(jnp.square(x), axes,
+                             dtype=jnp.float32)) / count - jnp.square(mean)
         return mean, var
     m = mask.astype(x.dtype)
-    count = jnp.maximum(jnp.sum(mask.astype(jnp.float32), axes), 1.0)
-    mean = jnp.sum(x * m, axes, dtype=jnp.float32) / count
-    var = jnp.sum(jnp.square(x) * m, axes, dtype=jnp.float32) / count \
-        - jnp.square(mean)
+    count = jnp.maximum(allsum(jnp.sum(mask.astype(jnp.float32), axes)), 1.0)
+    mean = allsum(jnp.sum(x * m, axes, dtype=jnp.float32)) / count
+    var = allsum(jnp.sum(jnp.square(x) * m, axes,
+                         dtype=jnp.float32)) / count - jnp.square(mean)
     return mean, var
 
 
 def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig,
-                stats_out: bool = False):
+                stats_out: bool = False, axis_name=None):
     """tf_block.batch_norm_wrapper semantics: train → batch moments +
     EMA update of population stats; eval → population stats.
 
@@ -253,7 +262,7 @@ def _batch_norm(x, bn_p, bn_s, mask, train: bool, cfg: TdnnConfig,
     """
     axes = tuple(range(x.ndim - 1))
     if train:
-        mean, var = _masked_moments(x, mask, axes)
+        mean, var = _masked_moments(x, mask, axes, axis_name=axis_name)
         if stats_out:
             new_s = {"mean": mean, "var": var}
         else:
@@ -312,14 +321,16 @@ def _conv1d_same(x, w, dilation: int, fused_bwd: bool = False):
     right = (k - 1) * dilation - left
     if k == 1:
         return jnp.dot(x, w[0])
-    if fused_bwd and k * cin > 160 and jax.default_backend() == "tpu":
+    if fused_bwd and k * cin > 160:
         from xvector_tpu.ops import conv_bwd as _cb
-        if _cb.pallas_bwd_supported(x.shape, w.shape, dilation):
+        if ((jax.default_backend() == "tpu" or _cb.INTERPRET)
+                and _cb.pallas_bwd_supported(x.shape, w.shape, dilation)):
             # single-pass Pallas dw/dx (reads x and the cotangent once
             # instead of k times); forward values identical.  Opt-in:
             # a pallas_call has no GSPMD partitioning rule, so this is
-            # for single-device (per-shard-mapped) graphs only.
-            return _cb.conv1d_same_fused_bwd(x, w, dilation)
+            # for single-device or shard_map (per-shard-shaped) graphs
+            # only; _cb.INTERPRET lets CPU-mesh tests exercise it.
+            return _cb.conv1d_same_fused_bwd(x, w, dilation, _cb.INTERPRET)
     xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
     if k * cin <= 160:
         pieces = [xp[:, j * dilation: j * dilation + t] for j in range(k)]
@@ -373,7 +384,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
           compute_dtype=jnp.float32,
           bn_stats_out: bool = False,
           skip_head: bool = False,
-          fused_conv_bwd: bool = False) -> Dict[str, Any]:
+          fused_conv_bwd: bool = False,
+          axis_name: Optional[str] = None) -> Dict[str, Any]:
     """Forward pass.
 
     Args:
@@ -387,6 +399,9 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
       rng: PRNG key for dropout.
       compute_dtype: conv/matmul compute dtype (bf16 on TPU for speed; BN
         statistics and pooling always run in f32).
+      axis_name: mesh axis to psum BN batch moments over when running
+        inside a shard_map region (per-shard batches); None under
+        jit/GSPMD where the psums are inserted automatically.
 
     Returns dict with:
       ``logits`` (B, num_classes), ``xvector`` (B, embed0) — the embed-0
@@ -425,7 +440,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
                          ) + layer["b"].astype(compute_dtype)
         h = _activate(cfg, layer, h)
         h, bn_s = _batch_norm(h, layer["bn"], state["frame"][i], m,
-                              train, cfg, stats_out=bn_stats_out)
+                              train, cfg, stats_out=bn_stats_out,
+                              axis_name=axis_name)
         if m is not None:
             h = h * m.astype(h.dtype)  # keep pad positions zero for next conv
         new_state["frame"].append(bn_s)
@@ -450,7 +466,8 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
                                      + jnp.sum(jnp.square(layer["b"])))
         h = _activate(cfg, layer, pre)
         h, bn_s = _batch_norm(h, layer["bn"], state["embed"][i], rw,
-                              train, cfg, stats_out=bn_stats_out)
+                              train, cfg, stats_out=bn_stats_out,
+                              axis_name=axis_name)
         new_state["embed"].append(bn_s)
         if i != len(cfg.embed_dims) - 1:
             h = dropout(h)

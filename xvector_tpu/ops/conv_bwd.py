@@ -44,6 +44,10 @@ __all__ = ["conv1d_same_fused_bwd", "pallas_bwd_supported"]
 _TPAD = 16
 _ROWS = 4          # batch rows per grid step (VMEM budget, see module doc)
 
+# Test hook: run the kernels in Pallas interpret mode so the fused-backward
+# path (incl. its use inside shard_map) is exercisable on CPU meshes.
+INTERPRET = False
+
 
 def _fwd_shifted_dots(x, w, dilation, t):
     k = w.shape[0]
@@ -91,6 +95,21 @@ def _dx_kernel(gp_ref, w_ref, dx_ref, *, k, dilation, t, rows):
         dx_ref[r] = acc.astype(dx_ref.dtype)
 
 
+def _interp(flag):
+    """Interpret-mode selector: the TPU-emulating interpreter handles
+    vma-annotated operands inside shard_map (the plain HLO interpreter
+    does not)."""
+    return pltpu.InterpretParams() if flag else False
+
+
+def _out_struct(shape, dtype, *like):
+    """Output aval for pallas_call that survives vma checking inside
+    shard_map: both kernels produce per-shard (varying) values, so the
+    outputs vary over the union of the inputs' mesh axes."""
+    vma = frozenset().union(*(jax.typeof(a).vma for a in like))
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _pallas_dw(xp, g, k, dilation, interpret=False):
     b, tp, cin = xp.shape
     t, cout = g.shape[1], g.shape[2]
@@ -107,14 +126,14 @@ def _pallas_dw(xp, g, k, dilation, interpret=False):
         ],
         out_specs=pl.BlockSpec((k * cin, cout), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k * cin, cout), jnp.float32),
+        out_shape=_out_struct((k * cin, cout), jnp.float32, xp, g),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * cin * cout * k,
             bytes_accessed=xp.size * 2 + g.size * 2 + k * cin * cout * 4,
             transcendentals=0),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(xp, g)
 
 
@@ -134,14 +153,14 @@ def _pallas_dx(gp, w2d, k, dilation, t, out_dtype, interpret=False):
         ],
         out_specs=pl.BlockSpec((_ROWS, t, cin), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, cin), out_dtype),
+        out_shape=_out_struct((b, t, cin), out_dtype, gp, w2d),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * cin * cout * k,
             bytes_accessed=gp.size * 2 + w2d.size * 2 + b * t * cin * 2,
             transcendentals=0),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(gp, w2d)
 
 

@@ -77,6 +77,9 @@ class TrainConfig:
     fused_conv_bwd: bool = False           # Pallas fused-read conv
     # backward (ops/conv_bwd.py). Opt-in: single-device TPU graphs only —
     # pallas_call has no GSPMD partitioning rule for sharded meshes.
+    spmd_step: str = "gspmd"               # gspmd (jit auto-partitioning)
+    # | shard_map (explicit collectives; composes with the Pallas fused
+    # conv backward at pod scale — see train/spmd_step.py)
     final_combine: bool = False            # working version of the
     # reference's disabled final model combination (train_dnn.py:571-581
     # raises; ze_utils.py:164-183 averaging is a stub): optimize convex
@@ -244,8 +247,15 @@ class Trainer:
             raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
         self._step_fn = make_train_step(self.model_cfg, cfg,
                                         self.optimizer, self.mesh)
-        self._block_fn = make_block_train_step(self.model_cfg, cfg,
-                                               self.optimizer, self.mesh)
+        if cfg.spmd_step == "shard_map":
+            from .spmd_step import make_shardmap_block_train_step
+            self._block_fn = make_shardmap_block_train_step(
+                self.model_cfg, cfg, self.optimizer, self.mesh)
+        elif cfg.spmd_step == "gspmd":
+            self._block_fn = make_block_train_step(self.model_cfg, cfg,
+                                                   self.optimizer, self.mesh)
+        else:
+            raise ValueError(f"unknown spmd_step {cfg.spmd_step!r}")
         self._eval_fn = make_eval_step(self.model_cfg, cfg)
         self._metrics_path = os.path.join(work_dir, "metrics.jsonl")
         self._dropout_points = schedules.parse_dropout_schedule(

@@ -147,3 +147,39 @@ def test_attention_pooling_extraction():
     # single-chunk utterance: must equal the direct unpadded forward
     want = np.asarray(tdnn.extract_xvector(cfg, params, state, a[None]))[0]
     np.testing.assert_allclose(got["a"], want, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_kernel_extraction_matches(model):
+    """use_fused=True routes the frame stack through the Pallas kernel
+    (interpreted by pallas on CPU via the XLA fallback inside
+    fused_frame_stack); x-vectors must match the default path closely."""
+    cfg, params, state = model
+    rng = np.random.RandomState(11)
+    utts = {f"u{i}": rng.randn(120, 23).astype(np.float32)
+            for i in range(6)}
+    common = dict(min_chunk=25, max_chunk=200, batch_size=3, buckets=(128,))
+    plain = XvectorExtractor(cfg, params, state,
+                             ExtractorConfig(**common))
+    fused = XvectorExtractor(cfg, params, state,
+                             ExtractorConfig(use_fused=True, **common))
+    a = plain.extract(utts.items())
+    b = fused.extract(utts.items())
+    assert set(b) == set(utts)
+    for k in utts:
+        # fused path computes in bf16 matmul / f32 accum; default test
+        # config is f32 — compare direction + magnitude at vector scale
+        # rather than elementwise (bf16 noise on near-zero elements)
+        cos = np.dot(a[k], b[k]) / (np.linalg.norm(a[k])
+                                    * np.linalg.norm(b[k]))
+        assert cos > 0.9995, cos
+        assert np.abs(a[k] - b[k]).max() < 0.02 * np.abs(a[k]).max()
+
+
+def test_fused_rejects_unsupported_topology():
+    from dataclasses import replace
+    cfg = replace(tdnn.MODEL_ZOO["l2_lrelu_attention"],
+                  channels=(32, 32, 32, 32, 6 * 16), embed_dims=(64, 64))
+    params, state = tdnn.init_params(KEY, cfg, num_classes=7)
+    with pytest.raises(ValueError):
+        XvectorExtractor(cfg, params, state,
+                         ExtractorConfig(use_fused=True))

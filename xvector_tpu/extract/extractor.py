@@ -55,6 +55,12 @@ class ExtractorConfig:
     # an extra compilation per depth; measured on the tunnel-attached chip
     # the host→device upload dominates either way, so the default stays 1.
     dispatch_depth: int = 1
+    # fused Pallas frame-level stack (ops/tdnn_kernel.py): all five conv
+    # layers in one kernel, intermediates VMEM-resident.  Opt-in: measured
+    # on v5e the XLA shifted-dot-general path is ~10% faster at extraction
+    # shapes (XLA already fuses the epilogues; the kernel's f32 VMEM
+    # intermediates cap its tile size), so the default stays False.
+    use_fused: bool = False
 
 
 def preprocess(feats: np.ndarray, cmvn_window: int = 300,
@@ -74,10 +80,26 @@ class XvectorExtractor:
         self.params = params
         self.state = state
         self.cfg = cfg
+        self._fused = cfg.use_fused
+        if self._fused:
+            from ..ops import tdnn_kernel
+            if not tdnn_kernel.supports(model_cfg):
+                raise ValueError("fused extraction unsupported for "
+                                 f"topology {model_cfg.name}")
         self._fwd = jax.jit(self._forward, static_argnames=())
         self._fwd_scan = jax.jit(self._forward_scan)
 
     def _forward(self, x, mask):
+        if self._fused:
+            from ..ops.tdnn_kernel import fused_frame_stack
+            h = fused_frame_stack(self.model_cfg, self.params, self.state,
+                                  x, mask)
+            pooled = tdnn.stats_pooling(h, mask.astype(jnp.float32)[..., None])
+            e0 = self.params["embed"][0]
+            cd = jnp.dtype(self.cfg.compute_dtype)
+            return (jnp.dot(pooled.astype(cd), e0["w"].astype(cd),
+                            preferred_element_type=jnp.float32)
+                    + e0["b"]).astype(jnp.float32)
         return tdnn.extract_xvector(
             self.model_cfg, self.params, self.state, x, mask=mask,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype))

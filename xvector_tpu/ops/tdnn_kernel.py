@@ -14,7 +14,12 @@ computed on the host side of the call.
 
 The public entry :func:`fused_frame_stack` matches
 ``models.tdnn.frame_stack`` (the XLA reference) and is used by the
-extractor when enabled; a pure-XLA fallback keeps CPU/test parity.
+extractor when ``ExtractorConfig(use_fused=True)``; a pure-XLA fallback
+keeps CPU/test parity.  Measured on v5e the XLA shifted-dot-general path
+is ~10% faster at extraction shapes (XLA fuses the epilogues on its own
+and the kernel's f32 VMEM intermediates cap its tile size), so the fused
+path stays opt-in — kept as the VMEM-residency baseline for future
+topologies whose intermediates XLA cannot keep fused.
 """
 
 from __future__ import annotations

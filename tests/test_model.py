@@ -147,3 +147,10 @@ def test_dropout_active_only_in_train():
     d = tdnn.apply(cfg, params, state, x, train=False)
     np.testing.assert_array_equal(np.asarray(c["logits"]),
                                   np.asarray(d["logits"]))
+
+
+def test_etdnn_topology():
+    # BASELINE.json config 3: interleaved dense layers, wider context
+    cfg = tdnn.MODEL_ZOO["etdnn"]
+    assert cfg.receptive_field == 23
+    assert cfg.channels[-1] == 1500 and cfg.num_frame_layers == 10

@@ -101,6 +101,15 @@ MODEL_ZOO: Dict[str, TdnnConfig] = {
         name="l2_lrelu_attention", activation="lrelu", l2_beta=2e-4,
         channels=(512, 512, 512, 512, 6 * 512), pooling="attention"),
     "l2_relu_he": TdnnConfig(name="l2_relu_he", l2_beta=2e-4, init="he"),
+    # Extended TDNN (BASELINE.json config 3; Snyder et al. 2019): TDNN
+    # layers interleaved with dense (k=1) layers, wider dilated context
+    # (RF 23), 1500-ch pre-pooling layer.  No reference class counterpart
+    # — the reference's closest is ModelWithoutDropoutTdnn (models.py:538).
+    "etdnn": TdnnConfig(
+        name="etdnn",
+        kernel_sizes=(5, 1, 3, 1, 3, 1, 3, 1, 1, 1),
+        dilations=(1, 1, 2, 1, 3, 1, 4, 1, 1, 1),
+        channels=(512,) * 9 + (1500,)),
     # reduced-width config for CI / smoke runs (no reference counterpart)
     "tiny": TdnnConfig(name="tiny", channels=(32, 32, 32, 32, 96),
                        embed_dims=(64, 64)),

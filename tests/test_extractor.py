@@ -183,3 +183,37 @@ def test_fused_rejects_unsupported_topology():
     with pytest.raises(ValueError):
         XvectorExtractor(cfg, params, state,
                          ExtractorConfig(use_fused=True))
+
+
+def test_wave_to_xvector_matches_stepwise_chain():
+    """The one-dispatch wave→x-vector program must equal the step-by-step
+    host chain (mfcc → energy VAD → sliding CMVN → select-voiced →
+    forward) per utterance."""
+    import jax.numpy as jnp
+    from xvector_tpu.ops import features as F
+    from xvector_tpu.extract.extractor import make_wave_to_xvector
+
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), cfg, 8)
+    mfcc_cfg = F.MfccConfig(dither=0.0)
+    fn = make_wave_to_xvector(cfg, mfcc_cfg, compute_dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    lens = [8000, 4400, 16000]
+    waves = np.zeros((3, 16000), np.float32)
+    for i, n in enumerate(lens):
+        waves[i, :n] = (rng.randn(n) * 2000).astype(np.float32)
+
+    xv, nframes = fn(params, state, jnp.asarray(waves),
+                     jnp.asarray(lens, np.int32))
+    xv, nframes = np.asarray(xv), np.asarray(nframes)
+
+    for i, n in enumerate(lens):
+        feats = np.asarray(F.mfcc(waves[i, :n], mfcc_cfg))
+        vad = np.asarray(F.energy_vad(feats))
+        feats = np.asarray(F.sliding_cmvn(feats))
+        voiced = F.select_voiced_frames(feats, vad)
+        assert nframes[i] == voiced.shape[0] > 0
+        ref = np.asarray(tdnn.extract_xvector(
+            cfg, params, state, jnp.asarray(voiced[None])))[0]
+        np.testing.assert_allclose(xv[i], ref, rtol=2e-3, atol=2e-3)

@@ -134,3 +134,76 @@ def test_select_voiced_frames():
     vad = np.array([1.0, 0.0, 1.0, 0.0])
     out = F.select_voiced_frames(x, vad)
     np.testing.assert_array_equal(out, x[[0, 2]])
+
+
+# ---------------------------------------------------------------------------
+# Batched masked front-end: each batched op must reproduce the per-utterance
+# host path row by row on ragged lengths (wave_to_xvector building blocks).
+# ---------------------------------------------------------------------------
+
+def _ragged_waves(lens, seed=0, scale=2000.0):
+    rng = np.random.RandomState(seed)
+    s = max(lens)
+    waves = np.zeros((len(lens), s), np.float32)
+    for i, n in enumerate(lens):
+        waves[i, :n] = (rng.randn(n) * scale).astype(np.float32)
+    return waves, np.asarray(lens, np.int32)
+
+
+def test_mfcc_batch_matches_single():
+    cfg = F.MfccConfig(dither=0.0)
+    lens = [8000, 5000, 12000, 123]
+    waves, n = _ragged_waves(lens)
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    feats, mask = np.asarray(feats), np.asarray(mask)
+    for i, ln in enumerate(lens):
+        ref = np.asarray(F.mfcc(waves[i, :ln], cfg))
+        t = ref.shape[0]
+        assert mask[i].sum() == t
+        np.testing.assert_allclose(feats[i, :t], ref, rtol=1e-4, atol=1e-3)
+
+
+def test_energy_vad_batch_matches_single():
+    cfg = F.MfccConfig(dither=0.0)
+    lens = [8000, 3000, 11000]
+    waves, n = _ragged_waves(lens, seed=1)
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    vad = np.asarray(F.energy_vad_batch(feats, mask))
+    for i, ln in enumerate(lens):
+        t = F.num_frames(ln, cfg)
+        ref = np.asarray(F.energy_vad(np.asarray(feats)[i, :t]))
+        np.testing.assert_array_equal(vad[i, :t], ref)
+        assert not vad[i, t:].any()
+
+
+@pytest.mark.parametrize("window,center", [(300, True), (10, True),
+                                           (300, False)])
+def test_sliding_cmvn_batch_matches_single(window, center):
+    cfg = F.MfccConfig(dither=0.0)
+    lens = [8000, 2000, 20000, 900]   # incl. t < window and t > window
+    waves, n = _ragged_waves(lens, seed=2)
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    out = np.asarray(F.sliding_cmvn_batch(feats, mask, window=window,
+                                          center=center))
+    for i, ln in enumerate(lens):
+        t = F.num_frames(ln, cfg)
+        ref = np.asarray(F.sliding_cmvn(np.asarray(feats)[i, :t],
+                                        window=window, center=center))
+        np.testing.assert_allclose(out[i, :t], ref, rtol=1e-4, atol=2e-3)
+        if t < out.shape[1]:
+            assert np.abs(out[i, t:]).max() == 0.0
+
+
+def test_compact_voiced_matches_host_selection():
+    rng = np.random.RandomState(3)
+    feats = rng.randn(3, 50, 7).astype(np.float32)
+    vad = (rng.rand(3, 50) > 0.4).astype(np.float32)
+    vad[1, 40:] = 0.0                         # padding region
+    out, new_mask = F.compact_voiced(feats, vad)
+    out, new_mask = np.asarray(out), np.asarray(new_mask)
+    for i in range(3):
+        ref = F.select_voiced_frames(feats[i], vad[i])
+        k = ref.shape[0]
+        assert new_mask[i].sum() == k
+        np.testing.assert_array_equal(out[i, :k], ref)
+        assert np.abs(out[i, k:]).max() == 0.0

@@ -34,7 +34,7 @@ from ..models import tdnn
 from ..ops import features as F
 
 __all__ = ["ExtractorConfig", "XvectorExtractor", "preprocess",
-           "speaker_means"]
+           "speaker_means", "make_wave_to_xvector"]
 
 
 @dataclass(frozen=True)
@@ -223,6 +223,41 @@ class XvectorExtractor:
     def extract(self, stream: Iterable[Tuple[str, np.ndarray]]
                 ) -> Dict[str, np.ndarray]:
         return dict(self.extract_iter(stream))
+
+
+def make_wave_to_xvector(model_cfg: tdnn.TdnnConfig,
+                         mfcc_cfg: F.MfccConfig = F.MfccConfig(),
+                         vad_cfg: F.VadConfig = F.VadConfig(),
+                         cmvn_window: int = 300,
+                         compute_dtype=jnp.bfloat16):
+    """One-dispatch waveform → x-vector pipeline.
+
+    The reference needs four Kaldi C++ binaries chained through Unix pipes
+    per utterance plus a separate TF forward (``run.sh:97-101``,
+    ``extract_xvectors.sh:68``, ``models.py:356-432``); here the whole
+    chain — dithered MFCC, energy VAD, sliding CMVN, voiced-frame
+    compaction, TDNN forward, embedding readout — is a single jitted XLA
+    program over a padded ``(B, S)`` waveform batch.
+
+    Returns ``fn(params, state, waves, n_samples, key) -> (xvectors (B, D),
+    voiced_frames (B,))``.  ``voiced_frames`` lets the caller apply the
+    recipe's min-chunk policy (drop utterances with < 25 voiced frames,
+    ``run_xvector.sh:75``).  Utterances longer than ``max_chunk`` frames
+    should be split and weight-averaged by the caller exactly as
+    :class:`XvectorExtractor` does for feature input.
+    """
+
+    @jax.jit
+    def fn(params, state, waves, n_samples, key=None):
+        feats, fmask = F.mfcc_batch(waves, n_samples, mfcc_cfg, key)
+        vad = F.energy_vad_batch(feats, fmask, vad_cfg)
+        feats = F.sliding_cmvn_batch(feats, fmask, window=cmvn_window)
+        feats, vmask = F.compact_voiced(feats, vad)
+        xv = tdnn.extract_xvector(model_cfg, params, state, feats, vmask,
+                                  compute_dtype=compute_dtype)
+        return xv, jnp.sum(vmask, axis=1).astype(jnp.int32)
+
+    return fn
 
 
 def speaker_means(xvectors: Dict[str, np.ndarray],

@@ -33,10 +33,14 @@ __all__ = [
     "MfccConfig",
     "VadConfig",
     "mfcc",
+    "mfcc_batch",
     "num_frames",
     "energy_vad",
+    "energy_vad_batch",
     "sliding_cmvn",
+    "sliding_cmvn_batch",
     "select_voiced_frames",
+    "compact_voiced",
 ]
 
 
@@ -198,7 +202,7 @@ def _frame_indices(num_samples: int, cfg: MfccConfig) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _mfcc_from_frames(frames: jnp.ndarray, cfg: MfccConfig,
                       dither_key) -> jnp.ndarray:
-    """frames: (T, frame_length) float32 raw sample windows → (T, num_ceps)."""
+    """frames: (..., T, frame_length) raw sample windows → (..., T, num_ceps)."""
     eps = jnp.float32(np.finfo(np.float32).eps)
     x = frames
     if cfg.dither != 0.0 and dither_key is not None:
@@ -208,7 +212,7 @@ def _mfcc_from_frames(frames: jnp.ndarray, cfg: MfccConfig,
     if cfg.raw_energy:
         log_energy = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), eps))
     if cfg.preemph != 0.0:
-        shifted = jnp.concatenate([x[:, :1], x[:, :-1]], axis=-1)
+        shifted = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
         x = x - cfg.preemph * shifted
     x = x * jnp.asarray(_window_fn(cfg))
     if not cfg.raw_energy:
@@ -233,7 +237,7 @@ def _mfcc_from_frames(frames: jnp.ndarray, cfg: MfccConfig,
         if cfg.energy_floor > 0.0:
             log_energy = jnp.maximum(log_energy,
                                      math.log(cfg.energy_floor))
-        ceps = ceps.at[:, 0].set(log_energy)
+        ceps = ceps.at[..., 0].set(log_energy)
     return ceps
 
 
@@ -326,3 +330,140 @@ def select_voiced_frames(feats: np.ndarray, vad: np.ndarray) -> np.ndarray:
     feats = np.asarray(feats)
     vad = np.asarray(vad)
     return feats[vad > 0.5]
+
+
+# ---------------------------------------------------------------------------
+# Batched masked front-end (one device dispatch for a batch of utterances)
+#
+# The reference runs the whole feature chain as a Unix pipe of four Kaldi
+# C++ binaries per utterance (compute-mfcc-feats | compute-vad-energy …
+# apply-cmvn-sliding | select-voiced-frames, extract_xvectors.sh:68,
+# run.sh:97-101).  Here the same chain is a single jitted program over a
+# padded (B, S) batch of waveforms with per-row sample counts: static
+# shapes, per-row validity carried as a frame mask, ragged voiced-frame
+# selection done as a stable sort-to-front compaction so downstream convs
+# see the same compacted sequences the reference's pipe produces.
+# ---------------------------------------------------------------------------
+
+def _num_frames_device(n_samples: jnp.ndarray, cfg: MfccConfig):
+    if cfg.snip_edges:
+        return jnp.where(
+            n_samples < cfg.frame_length, 0,
+            1 + (n_samples - cfg.frame_length) // cfg.frame_shift)
+    return (n_samples + cfg.frame_shift // 2) // cfg.frame_shift
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mfcc_batch(waves: jnp.ndarray, n_samples: jnp.ndarray,
+               cfg: MfccConfig = MfccConfig(), key=None):
+    """Batched MFCC over padded waveforms.
+
+    ``waves``: (B, S) float32 int16-scale, zero-padded; ``n_samples``: (B,)
+    valid sample counts.  Returns ``(feats (B, T, num_ceps), frame_mask
+    (B, T))`` where T is the frame count of the padded length and rows past
+    each utterance's own frame count are masked.  Per-row framing uses the
+    same Kaldi snip-edges=false reflection as :func:`mfcc`, evaluated on
+    device against each row's true length, so row b equals
+    ``mfcc(waves[b, :n_samples[b]])`` (modulo dither draws).
+    """
+    waves = jnp.asarray(waves, jnp.float32)
+    b, s = waves.shape
+    t = num_frames(s, cfg)
+    starts = jnp.arange(t) * cfg.frame_shift
+    if not cfg.snip_edges:
+        starts = starts + cfg.frame_shift // 2 - cfg.frame_length // 2
+    idx = starts[:, None] + jnp.arange(cfg.frame_length)[None, :]
+    n = jnp.maximum(n_samples.astype(jnp.int32), 1)[:, None, None]
+    idx = jnp.broadcast_to(idx[None], (b, t, cfg.frame_length))
+    idx = jnp.where(idx < 0, -idx - 1, idx)
+    idx = jnp.where(idx >= n, 2 * n - idx - 1, idx)
+    idx = jnp.clip(idx, 0, n - 1)
+    frames = jnp.take_along_axis(
+        waves, idx.reshape(b, -1), axis=1).reshape(b, t, cfg.frame_length)
+    if cfg.dither == 0.0:
+        key = None
+    feats = _mfcc_from_frames(frames, cfg, key)
+    t_i = _num_frames_device(n_samples.astype(jnp.int32), cfg)
+    mask = (jnp.arange(t)[None, :] < t_i[:, None]).astype(jnp.float32)
+    return feats, mask
+
+
+def _box_sum(x: jnp.ndarray, context: int) -> jnp.ndarray:
+    """Per-row sums over the ±context window along the last axis."""
+    pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(context + 1, context)])
+    c = jnp.cumsum(pad, axis=-1)
+    w = 2 * context + 1
+    return c[..., w:] - c[..., :-w]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def energy_vad_batch(feats: jnp.ndarray, mask: jnp.ndarray,
+                     cfg: VadConfig = VadConfig()) -> jnp.ndarray:
+    """Masked batched ``compute-vad-energy``: (B, T, C) + frame mask →
+    (B, T) 0/1 voiced decisions (0 on padding).  Row b equals
+    ``energy_vad(feats[b, :t_b])``."""
+    log_e = feats[..., 0]
+    denom = jnp.maximum(jnp.sum(mask, -1, keepdims=True), 1.0)
+    thresh = cfg.energy_threshold
+    if cfg.energy_mean_scale != 0.0:
+        mean_e = jnp.sum(log_e * mask, -1, keepdims=True) / denom
+        thresh = thresh + cfg.energy_mean_scale * mean_e
+    above = ((log_e > thresh) & (mask > 0)).astype(jnp.float32)
+    num = _box_sum(above, cfg.frames_context)
+    den = _box_sum(mask.astype(jnp.float32), cfg.frames_context)
+    voiced = (num >= den * cfg.proportion_threshold) & (mask > 0)
+    return voiced.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "center",
+                                             "normalize_variance"))
+def sliding_cmvn_batch(feats: jnp.ndarray, mask: jnp.ndarray,
+                       window: int = 300, center: bool = True,
+                       normalize_variance: bool = False) -> jnp.ndarray:
+    """Masked batched sliding CMVN with per-row Kaldi window clamping.
+
+    Per-row window size is ``min(window, t_b)``; windows slide rather than
+    shrink at the edges.  Sums come from a cumsum over per-row globally
+    centered features (the random-walk trick keeps the cumsum magnitude
+    ~sqrt(T)·σ so the f32 difference of prefix sums stays accurate over
+    10k-frame utterances).
+    """
+    b, t, c = feats.shape
+    m = mask[..., None]
+    x = feats.astype(jnp.float32) * m
+    t_i = jnp.maximum(jnp.sum(mask, -1).astype(jnp.int32), 1)       # (B,)
+    win = jnp.minimum(jnp.int32(window), t_i)                       # (B,)
+    g_mean = jnp.sum(x, 1, keepdims=True) / t_i[:, None, None]      # (B,1,C)
+    xc = (x - g_mean) * m
+    csum = jnp.concatenate(
+        [jnp.zeros((b, 1, c), jnp.float32), jnp.cumsum(xc, axis=1)], axis=1)
+    pos = jnp.arange(t)[None, :]
+    start = pos - (win[:, None] // 2 if center else win[:, None] - 1)
+    start = jnp.clip(start, 0, jnp.maximum(t_i - win, 0)[:, None])  # (B,T)
+    end = start + win[:, None]
+    take = lambda i: jnp.take_along_axis(csum, i[..., None], axis=1)
+    mean = g_mean + (take(end) - take(start)) / win[:, None, None]
+    out = feats - mean.astype(feats.dtype)
+    if normalize_variance:
+        sq = jnp.concatenate([jnp.zeros((b, 1, c), jnp.float32),
+                              jnp.cumsum(jnp.square(xc), axis=1)], axis=1)
+        var = ((jnp.take_along_axis(sq, end[..., None], 1)
+                - jnp.take_along_axis(sq, start[..., None], 1))
+               / win[:, None, None]
+               - jnp.square(mean - g_mean))
+        out = out * jax.lax.rsqrt(jnp.maximum(var, 1e-10)).astype(out.dtype)
+    return out * m.astype(out.dtype)
+
+
+@jax.jit
+def compact_voiced(feats: jnp.ndarray, vad: jnp.ndarray):
+    """Static-shape ``select-voiced-frames``: stably move voiced frames to
+    the front of each row.  Returns ``(compacted feats, new frame mask)``.
+    Because the sort is stable, row b's first ``sum(vad[b])`` frames equal
+    the reference pipe's compacted sequence exactly."""
+    order = jnp.argsort(1.0 - vad, axis=1, stable=True)
+    out = jnp.take_along_axis(feats, order[..., None], axis=1)
+    count = jnp.sum(vad, axis=1).astype(jnp.int32)
+    new_mask = (jnp.arange(feats.shape[1])[None, :]
+                < count[:, None]).astype(jnp.float32)
+    return out * new_mask[..., None].astype(out.dtype), new_mask

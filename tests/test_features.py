@@ -1,55 +1,141 @@
-"""Feature front-end tests: MFCC vs an independent numpy oracle, VAD and
-sliding-CMVN property/edge-case checks."""
+"""Feature front-end tests: MFCC vs an independent numpy oracle built
+straight from the published Kaldi formulas (sharing NO constants with the
+implementation), frozen golden fixtures, VAD and sliding-CMVN
+property/edge-case checks.
+
+The oracle below re-derives every constant — povey window, mel filterbank
+geometry, orthonormal DCT-II, cepstral lifter — from the formulas in
+Kaldi's feat/feature-window.cc, feat/mel-computations.cc and
+feat/feature-functions.cc, with the knob values of the reference's
+``conf/mfcc.conf:1-6`` (8 kHz, 25/10 ms, 23 ceps, 20-3700 Hz,
+snip-edges=false) and ``conf/vad.conf:1-4``.  A constant-level deviation
+in the implementation (mel edge placement, window power, DCT norm) now
+fails these tests instead of silently shifting SRE16 EER.
+"""
 
 import math
+import os
 
 import numpy as np
 import pytest
 
 from xvector_tpu.ops import features as F
 
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
 
 # ---------------------------------------------------------------------------
-# Independent numpy oracle for Kaldi-semantics MFCC (written separately from
-# the JAX implementation, used to cross-check it).
+# Independent Kaldi-formula oracle (f64 throughout; no imports from the
+# implementation beyond the config dataclass's knob values).
 # ---------------------------------------------------------------------------
+
+def _oracle_povey_window(n):
+    # feature-window.cc: hann^0.85 with denominator N-1
+    i = np.arange(n, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))) ** 0.85
+
+
+def _oracle_mel(f):
+    # mel-computations.cc: MelScale
+    return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _oracle_mel_banks(num_bins, fft_size, sample_rate, low, high):
+    # mel-computations.cc MelBanks: num_bins triangles, edges spaced
+    # uniformly in mel between mel(low) and mel(high); FFT bins
+    # 0..fft_size/2-1 (nyquist excluded)
+    mel_low, mel_high = _oracle_mel(low), _oracle_mel(high)
+    delta = (mel_high - mel_low) / (num_bins + 1)
+    freqs = np.arange(fft_size // 2, dtype=np.float64) \
+        * (sample_rate / fft_size)
+    mel_f = _oracle_mel(freqs)
+    banks = np.zeros((num_bins, fft_size // 2))
+    for b in range(num_bins):
+        lo, ce, hi = (mel_low + (b + k) * delta for k in (0, 1, 2))
+        up = (mel_f - lo) / (ce - lo)
+        down = (hi - mel_f) / (hi - ce)
+        banks[b] = np.maximum(0.0, np.minimum(up, down))
+    return banks
+
+
+def _oracle_dct(num_ceps, num_bins):
+    # matrix-functions.cc ComputeDctMatrix (orthonormal DCT-II)
+    j = np.arange(num_bins, dtype=np.float64)
+    rows = [np.full(num_bins, 1.0 / math.sqrt(num_bins))]
+    for k in range(1, num_ceps):
+        rows.append(math.sqrt(2.0 / num_bins)
+                    * np.cos(math.pi * k * (2 * j + 1) / (2 * num_bins)))
+    return np.stack(rows)
+
+
+def _oracle_lifter(num_ceps, q):
+    # feature-mfcc.cc ComputeLifterCoeffs
+    i = np.arange(num_ceps, dtype=np.float64)
+    return 1.0 + 0.5 * q * np.sin(np.pi * i / q)
+
 
 def _numpy_mfcc(wave, cfg: F.MfccConfig):
+    """f64 Kaldi-semantics MFCC from first principles (dither off)."""
     assert cfg.dither == 0.0
-    n, shift, win = len(wave), cfg.frame_shift, cfg.frame_length
+    sr = cfg.sample_rate
+    win = int(sr * cfg.frame_length_ms / 1000.0)
+    shift = int(sr * cfg.frame_shift_ms / 1000.0)
+    fft_size = 1
+    while fft_size < win:
+        fft_size *= 2
+    n = len(wave)
     eps = np.finfo(np.float32).eps
     if cfg.snip_edges:
         t = 1 + (n - win) // shift if n >= win else 0
         starts = np.arange(t) * shift
     else:
+        # feature-window.cc FirstSampleOfFrame/NumFrames (snip-edges=false)
         t = (n + shift // 2) // shift
         starts = np.arange(t) * shift + shift // 2 - win // 2
+    window = _oracle_povey_window(win)
+    high = cfg.high_freq if cfg.high_freq > 0 else sr / 2 + cfg.high_freq
+    banks = _oracle_mel_banks(cfg.num_mel_bins, fft_size, sr,
+                              cfg.low_freq, high)
+    dct = _oracle_dct(cfg.num_ceps, cfg.num_mel_bins)
+    lift = _oracle_lifter(cfg.num_ceps, cfg.cepstral_lifter)
     feats = []
-    window = F._window_fn(cfg).astype(np.float64)
-    banks = F._mel_banks(cfg).astype(np.float64)
-    dct = F._dct_matrix(cfg.num_ceps, cfg.num_mel_bins).astype(np.float64)
-    lift = F._lifter_coeffs(cfg.num_ceps, cfg.cepstral_lifter)
     for s in starts:
         idx = np.arange(s, s + win)
-        idx = np.where(idx < 0, -idx - 1, idx)
-        idx = np.where(idx >= n, 2 * n - idx - 1, idx)
+        idx = np.where(idx < 0, -idx - 1, idx)       # reflect at start
+        idx = np.where(idx >= n, 2 * n - idx - 1, idx)  # reflect at end
         frame = wave[idx].astype(np.float64)
         if cfg.remove_dc_offset:
             frame = frame - frame.mean()
-        log_e = math.log(max(np.dot(frame, frame), eps))
+        log_e = math.log(max(np.dot(frame, frame), eps))  # raw energy
         if cfg.preemph:
             pre = np.concatenate([[frame[0]], frame[:-1]])
             frame = frame - cfg.preemph * pre
         frame = frame * window
-        spec = np.fft.rfft(frame, cfg.fft_size)
-        power = np.abs(spec[: cfg.fft_size // 2]) ** 2
+        spec = np.fft.rfft(frame, fft_size)
+        power = np.abs(spec[: fft_size // 2]) ** 2
         logmel = np.log(np.maximum(banks @ power, eps))
-        c = dct @ logmel
-        c = c * lift
+        c = (dct @ logmel) * lift
         if cfg.use_energy:
             c[0] = log_e
         feats.append(c)
-    return np.array(feats, dtype=np.float32)
+    return np.array(feats, dtype=np.float64)
+
+
+def _numpy_energy_vad(feats, vcfg: F.VadConfig):
+    """Kaldi ivector/voice-activity-detection.cc from first principles."""
+    log_e = feats[:, 0].astype(np.float64)
+    thresh = vcfg.energy_threshold
+    if vcfg.energy_mean_scale != 0.0:
+        thresh = thresh + vcfg.energy_mean_scale * log_e.mean()
+    t = len(log_e)
+    out = np.zeros(t, np.float64)
+    for i in range(t):
+        lo = max(0, i - vcfg.frames_context)
+        hi = min(t, i + vcfg.frames_context + 1)
+        num = float((log_e[lo:hi] > thresh).sum())
+        den = float(hi - lo)
+        out[i] = 1.0 if num >= den * vcfg.proportion_threshold else 0.0
+    return out
 
 
 @pytest.mark.parametrize("nsamp", [1600, 8000, 12345])
@@ -75,14 +161,85 @@ def test_mfcc_pure_tone_hits_expected_mel_bin():
     cfg = F.MfccConfig(dither=0.0, use_energy=False, cepstral_lifter=0.0)
     t = np.arange(8000) / cfg.sample_rate
     wave = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
-    banks = F._mel_banks(cfg)
+    banks = _oracle_mel_banks(cfg.num_mel_bins, cfg.fft_size,
+                              cfg.sample_rate, cfg.low_freq, cfg.high_freq)
     # recover log-mel by inverting the (orthogonal-rows) DCT
     feats = np.asarray(F.mfcc(wave, cfg))
-    dct = F._dct_matrix(cfg.num_ceps, cfg.num_mel_bins)
+    dct = _oracle_dct(cfg.num_ceps, cfg.num_mel_bins)
     logmel = feats @ np.linalg.pinv(dct).T
     freq_bin = int(1000 / (cfg.sample_rate / cfg.fft_size))
     expect_bin = int(np.argmax(banks[:, freq_bin]))
     assert abs(int(np.argmax(logmel.mean(0))) - expect_bin) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Frozen golden fixtures: (wave, f64 oracle MFCC, VAD decisions, CMVN rows)
+# committed in tests/golden/feature_golden.npz.  Regenerate ONLY with
+# tests/golden/make_feature_golden.py after verifying a deliberate
+# semantics change; the point is that neither the implementation nor the
+# in-repo oracle can drift without a test failing.
+# ---------------------------------------------------------------------------
+
+def _load_golden():
+    path = os.path.join(_GOLDEN_DIR, "feature_golden.npz")
+    assert os.path.exists(path), "golden fixtures missing from repo"
+    return np.load(path)
+
+
+def test_golden_fixtures_match_oracle():
+    """The in-repo oracle must reproduce the frozen f64 rows ~exactly."""
+    g = _load_golden()
+    cfg = F.MfccConfig(dither=0.0)
+    for i in range(int(g["n_cases"])):
+        wave = g[f"wave_{i}"]
+        want = g[f"mfcc_{i}"]
+        got = _numpy_mfcc(wave, cfg)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("case", [0, 1, 2])
+def test_mfcc_matches_golden(case):
+    g = _load_golden()
+    cfg = F.MfccConfig(dither=0.0)
+    wave = g[f"wave_{case}"]
+    want = g[f"mfcc_{case}"]
+    got = np.asarray(F.mfcc(wave.astype(np.float32), cfg))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("case", [0, 1, 2])
+def test_vad_matches_golden(case):
+    # VAD is checked on the frozen MFCC rows so the test isolates the VAD
+    # op (the generator asserts every frame has decision margin, so f32
+    # rounding cannot flip it)
+    g = _load_golden()
+    feats = g[f"mfcc_{case}"].astype(np.float32)
+    got = np.asarray(F.energy_vad(feats))
+    np.testing.assert_array_equal(got, g[f"vad_{case}"])
+
+
+def test_vad_matches_independent_oracle():
+    rng = np.random.RandomState(11)
+    feats = rng.randn(400, 23).astype(np.float32) * 3.0
+    feats[:, 0] = rng.randn(400) * 4.0 + 2.0
+    vcfg = F.VadConfig()
+    got = np.asarray(F.energy_vad(feats, vcfg))
+    want = _numpy_energy_vad(feats, vcfg)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", [0, 2])
+def test_sliding_cmvn_matches_golden_edges(case):
+    """Golden CMVN rows pin the clamped-window EDGE behaviour (first /
+    centre / last frames) where implementations typically diverge.  Input
+    is the frozen MFCC so the test isolates the CMVN op."""
+    g = _load_golden()
+    feats = g[f"mfcc_{case}"].astype(np.float32)
+    got = np.asarray(F.sliding_cmvn(feats, window=300, center=True))
+    rows = g[f"cmvn_rows_{case}"].astype(int)
+    want = g[f"cmvn_{case}"]
+    np.testing.assert_allclose(got[rows], want, rtol=2e-4, atol=2e-3)
 
 
 def test_energy_vad_separates_silence():
@@ -192,6 +349,22 @@ def test_sliding_cmvn_batch_matches_single(window, center):
         np.testing.assert_allclose(out[i, :t], ref, rtol=1e-4, atol=2e-3)
         if t < out.shape[1]:
             assert np.abs(out[i, t:]).max() == 0.0
+
+
+def test_sliding_cmvn_batch_long_utterance_accuracy():
+    """~10k frames: the cumsum-differencing batch path must track the
+    reduce_window single-utterance path within the claimed accuracy even
+    when prefix sums grow large (ADVICE r1: previously only ~2k frames
+    were covered)."""
+    cfg = F.MfccConfig(dither=0.0)
+    waves, n = _ragged_waves([800_640, 500_000], seed=7)  # ~10k / ~6k frames
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    out = np.asarray(F.sliding_cmvn_batch(feats, mask, window=300))
+    for i, ln in enumerate([800_640, 500_000]):
+        t = F.num_frames(ln, cfg)
+        ref = np.asarray(F.sliding_cmvn(np.asarray(feats)[i, :t],
+                                        window=300))
+        np.testing.assert_allclose(out[i, :t], ref, rtol=1e-4, atol=2e-3)
 
 
 def test_compact_voiced_matches_host_selection():

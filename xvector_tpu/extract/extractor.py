@@ -242,7 +242,9 @@ def make_wave_to_xvector(model_cfg: tdnn.TdnnConfig,
     Returns ``fn(params, state, waves, n_samples, key) -> (xvectors (B, D),
     voiced_frames (B,))``.  ``voiced_frames`` lets the caller apply the
     recipe's min-chunk policy (drop utterances with < 25 voiced frames,
-    ``run_xvector.sh:75``).  Utterances longer than ``max_chunk`` frames
+    ``run_xvector.sh:75``); rows with ``voiced_frames == 0`` come back as
+    NaN so an all-silence utterance cannot be mistaken for a valid
+    embedding.  Utterances longer than ``max_chunk`` frames
     should be split and weight-averaged by the caller exactly as
     :class:`XvectorExtractor` does for feature input.
     """
@@ -255,7 +257,11 @@ def make_wave_to_xvector(model_cfg: tdnn.TdnnConfig,
         feats, vmask = F.compact_voiced(feats, vad)
         xv = tdnn.extract_xvector(model_cfg, params, state, feats, vmask,
                                   compute_dtype=compute_dtype)
-        return xv, jnp.sum(vmask, axis=1).astype(jnp.int32)
+        voiced = jnp.sum(vmask, axis=1).astype(jnp.int32)
+        # an all-silence row has no meaningful embedding — poison it with
+        # NaN so downstream consumers can't silently use it
+        xv = jnp.where((voiced > 0)[:, None], xv, jnp.nan)
+        return xv, voiced
 
     return fn
 

@@ -43,6 +43,8 @@ __all__ = [
     "read_mat_scp",
     "read_vec_flt",
     "read_vec_flt_ark",
+    "read_vec_flt_ark_fast",
+    "read_vec_flt_matrix",
     "read_vec_flt_scp",
     "read_vec_int",
     "read_vec_int_ark",
@@ -133,8 +135,49 @@ def _maybe_close(fd, file_or_fd):
 # Low-level token / int readers
 # ---------------------------------------------------------------------------
 
+_WS = b" \t\n"
+
+
 def _read_key(fd) -> str | None:
-    """Read a whitespace-terminated table key; None at EOF."""
+    """Read a whitespace-terminated table key; None at EOF.
+
+    Scans the stream's buffer via ``peek()`` (BufferedReader / Popen
+    stdout / GzipFile / stdin all have it) so keys cost two bulk reads
+    instead of one ``read(1)`` syscall round-trip per byte — pipes and
+    scp/gz inputs are the reference's extraction hot path
+    (``extract_xvectors.sh:68`` feeds a Kaldi pipe)."""
+    peek = getattr(fd, "peek", None)
+    if peek is None:
+        return _read_key_bytewise(fd)
+    # skip leading whitespace
+    while True:
+        buf = peek(1)
+        if not buf:
+            return None
+        i = 0
+        while i < len(buf) and buf[i] in _WS:
+            i += 1
+        if i:
+            fd.read(i)
+        if i < len(buf):
+            break
+    key = bytearray()
+    while True:
+        buf = peek(1)
+        if not buf:
+            return key.decode("latin1") if key else None
+        end = min((j for j in (buf.find(d) for d in (b" ", b"\t", b"\n"))
+                   if j != -1), default=-1)
+        if end == -1:
+            key += fd.read(len(buf))
+        else:
+            key += fd.read(end)
+            fd.read(1)  # consume the delimiter
+            return key.decode("latin1")
+
+
+def _read_key_bytewise(fd) -> str | None:
+    """Fallback for streams without ``peek`` (e.g. raw sockets)."""
     chars = []
     while True:
         c = fd.read(1)
@@ -360,24 +403,112 @@ def read_mat_ark_fast(rxspec) -> Iterator[Tuple[str, np.ndarray]]:
 
     Measured on 184 MB arks: compressed (CM) entries decode 3.6× faster
     natively (6.7k vs 1.9k utt/s — the percentile ladder is a scalar loop
-    in Python); plain FM entries are ~4 GB/s either way (fread-bound)."""
+    in Python); plain FM entries are ~4 GB/s either way (fread-bound).
+    Piped input (``cmd |`` — the reference's extraction rspecifier,
+    ``extract_xvectors.sh:68``) streams through the native decoder via the
+    pipe's file descriptor; many-small-entry arks read ~10× faster than
+    the per-entry Python loop."""
+    it = _native_stream_iter(rxspec)
+    if it is not None:
+        yield from it
+        return
+    yield from read_mat_ark(rxspec)
+
+
+def read_vec_flt_ark_fast(rxspec) -> Iterator[Tuple[str, np.ndarray]]:
+    """``read_vec_flt_ark`` through the native stream (FV/DV entries are
+    exposed by libxta as 1×dim matrices); falls back to Python."""
+    it = _native_stream_iter(rxspec)
+    if it is not None:
+        for key, mat in it:
+            yield key, mat.reshape(-1)
+        return
+    yield from read_vec_flt_ark(rxspec)
+
+
+def read_vec_flt_matrix(rxspec, dim_hint: int = 512):
+    """Slurp an ark of same-dim float vectors as ``(keys, (N, dim)
+    float32)`` — the natural shape for the PLDA back-end, and ~10× faster
+    than per-entry iteration on 100k-embedding arks (one native call per
+    64k entries instead of per-entry Python/ctypes crossings)."""
+    spec, pipe_cmd, path = None, None, None
     if isinstance(rxspec, str):
         spec = rxspec
         head, sep, tail = spec.partition(":")
         if sep and all(tok in ("ark", "t", "b", "p", "o", "s", "cs", "f",
                                "n") for tok in head.split(",")):
             spec = tail
-        if (spec and not spec.endswith("|") and not spec.startswith("|")
-                and spec != "-" and not spec.endswith(".gz")
-                and os.path.exists(spec)):
+        if spec.endswith("|"):
+            pipe_cmd = spec[:-1].strip()
+        elif (spec and not spec.startswith("|") and spec != "-"
+                and not spec.endswith(".gz") and os.path.exists(spec)):
+            path = spec
+    try:
+        from ..runtime import native
+        native_ok = (native.get_lib() is not None
+                     and native.get_lib().xta_version() >= 3)
+    except Exception:
+        native_ok = False
+    if native_ok and pipe_cmd is not None:
+        proc = subprocess.Popen(pipe_cmd, shell=True,
+                                stdout=subprocess.PIPE)
+        try:
+            keys, mat = native.read_vec_matrix(proc.stdout.fileno(),
+                                               dim_hint)
+        finally:
+            proc.stdout.close()
+            rc = proc.wait()
+            if rc != 0:
+                raise IOError(f"pipe subprocess exited with {rc}")
+        return keys, mat
+    if native_ok and path is not None:
+        return native.read_vec_matrix(path, dim_hint)
+    keys, rows = [], []
+    for key, vec in read_vec_flt_ark(rxspec):
+        keys.append(key)
+        rows.append(vec)
+    if not rows:
+        return [], np.empty((0, dim_hint), np.float32)
+    return keys, np.stack(rows).astype(np.float32)
+
+
+def _native_stream_iter(rxspec):
+    """Native sequential decode of a plain ark file or a ``cmd |`` pipe;
+    None when libxta is unavailable or the spec shape isn't covered."""
+    if not isinstance(rxspec, str):
+        return None
+    spec = rxspec
+    head, sep, tail = spec.partition(":")
+    if sep and all(tok in ("ark", "t", "b", "p", "o", "s", "cs", "f", "n")
+                   for tok in head.split(",")):
+        spec = tail
+    try:
+        from ..runtime import native
+        if not native.stream_supported():
+            return None
+    except Exception:
+        return None
+    if spec.endswith("|"):
+        def _pipe_iter():
+            proc = subprocess.Popen(spec[:-1].strip(), shell=True,
+                                    stdout=subprocess.PIPE)
+            drained = False
             try:
-                from ..runtime import native
-                if native.stream_supported():
-                    yield from native.ArkStream(spec)
-                    return
-            except Exception:
-                pass  # fall back to the Python reader below
-    yield from read_mat_ark(rxspec)
+                yield from native.ArkStream(proc.stdout.fileno())
+                drained = True
+            finally:
+                proc.stdout.close()
+                rc = proc.wait()
+                # a consumer that stops early SIGPIPEs the producer
+                # (141 via shell / -13 raw) — only a *drained* stream
+                # with a nonzero status is a real failure
+                if drained and rc != 0:
+                    raise IOError(f"pipe subprocess exited with {rc}")
+        return _pipe_iter()
+    if (spec and not spec.startswith("|") and spec != "-"
+            and not spec.endswith(".gz") and os.path.exists(spec)):
+        return iter(native.ArkStream(spec))
+    return None
 
 
 def read_mat_scp(file_or_fd) -> Iterator[Tuple[str, np.ndarray]]:

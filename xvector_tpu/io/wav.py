@@ -7,9 +7,11 @@ resolve either to a file this module decodes directly, or to a ``cmd |``
 pipe executed the Kaldi way for formats we do not parse natively.
 
 SPHERE support covers the NIST corpora the recipe uses: 16-bit PCM and
-8-bit μ-law, 1-2 channels with channel selection, big/little sample order
-("shorten"-compressed SPHERE is not decoded here — route those through an
-external command pipe).
+8-bit μ-law, 1-2 channels with channel selection, big/little sample
+order, and embedded-shorten compression (``pcm,embedded-shorten-v2.00``
+/ ``ulaw,embedded-shorten-v2.00`` — the actual payload format of LDC
+SRE04-10/SWBD deliveries) via the native decoder in io/shorten.py and
+runtime/xta_io.cc.
 """
 
 from __future__ import annotations
@@ -83,6 +85,18 @@ def read_wav(f, channel: Optional[int] = None) -> Tuple[np.ndarray, int]:
     return samples, rate
 
 
+def _shorten_to_samples(payload: bytes, sample_count):
+    """Decode an embedded-shorten payload to an (n, nchan) int32 array,
+    preferring the native C++ decoder (runtime/xta_io.cc) and falling
+    back to the pure-Python reference (io/shorten.py)."""
+    from xvector_tpu.runtime import native
+    if native.shorten_supported():
+        return native.shorten_decode(payload, sample_count)
+    from xvector_tpu.io import shorten
+    samples, _, _ = shorten.decode(payload, max_samples=sample_count)
+    return samples
+
+
 _MULAW_BIAS = 0x84
 
 
@@ -119,11 +133,22 @@ def read_sphere(path: str, channel: Optional[int] = None
         n_bytes = int(fields.get("sample_n_bytes", 2))
         coding = str(fields.get("sample_coding", "pcm"))
         byte_fmt = str(fields.get("sample_byte_format", "01"))
-        if "shorten" in coding:
-            raise ValueError(
-                "shorten-compressed SPHERE: decode via an external "
-                "'cmd |' pipe in wav.scp")
         raw = f.read()
+    if "shorten" in coding:
+        # embedded-shorten payload (the sph2pipe case for LDC SRE/SWBD
+        # deliveries, sample_coding "pcm,embedded-shorten-v2.00" etc.)
+        n_count = fields.get("sample_count")
+        decoded = _shorten_to_samples(
+            raw, int(n_count) if n_count is not None else None)
+        if "ulaw" in coding or n_bytes == 1:
+            decoded = _mulaw_decode(decoded.astype(np.uint8))
+        else:
+            decoded = decoded.astype(np.float32)
+        if decoded.ndim > 1 and decoded.shape[1] > 1:
+            decoded = decoded[:, channel if channel is not None else 0]
+        elif decoded.ndim > 1:
+            decoded = decoded[:, 0]
+        return decoded, rate
     if "ulaw" in coding or n_bytes == 1:
         samples = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
     else:

@@ -373,7 +373,10 @@ def mfcc_batch(waves: jnp.ndarray, n_samples: jnp.ndarray,
     if not cfg.snip_edges:
         starts = starts + cfg.frame_shift // 2 - cfg.frame_length // 2
     idx = starts[:, None] + jnp.arange(cfg.frame_length)[None, :]
-    n = jnp.maximum(n_samples.astype(jnp.int32), 1)[:, None, None]
+    # clamp: an n_samples beyond the padded buffer would otherwise make
+    # take_along_axis silently clamp indices and claim phantom frames
+    n_samples = jnp.minimum(n_samples.astype(jnp.int32), jnp.int32(s))
+    n = jnp.maximum(n_samples, 1)[:, None, None]
     idx = jnp.broadcast_to(idx[None], (b, t, cfg.frame_length))
     idx = jnp.where(idx < 0, -idx - 1, idx)
     idx = jnp.where(idx >= n, 2 * n - idx - 1, idx)

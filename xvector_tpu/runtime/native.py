@@ -59,6 +59,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64]
     lib.xta_materialize.restype = ctypes.c_int
     lib.xta_version.restype = ctypes.c_int
+    if lib.xta_version() >= 3:
+        lib.xta_stream_open_fd.argtypes = [ctypes.c_int]
+        lib.xta_stream_open_fd.restype = ctypes.c_void_p
+        lib.xta_stream_read_vecs.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.xta_stream_read_vecs.restype = ctypes.c_int64
+        lib.xta_shorten_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.xta_shorten_probe.restype = ctypes.c_int
+        lib.xta_shorten_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.xta_shorten_decode.restype = ctypes.c_int64
     if lib.xta_version() >= 2:
         lib.xta_stream_open.argtypes = [ctypes.c_char_p]
         lib.xta_stream_open.restype = ctypes.c_void_p
@@ -118,22 +135,64 @@ def stream_supported() -> bool:
     return lib is not None and lib.xta_version() >= 2
 
 
+def shorten_supported() -> bool:
+    lib = get_lib()
+    return lib is not None and lib.xta_version() >= 3
+
+
+def shorten_decode(payload: bytes, sample_count: Optional[int] = None
+                   ) -> np.ndarray:
+    """Native shorten decode → (n, nchan) int32 (raw file-type values).
+
+    sample_count (per channel) bounds the output; embedded-shorten
+    SPHERE always states it in its own header.  Pass None to decode the
+    whole stream (capacity then estimated from the payload size)."""
+    lib = get_lib()
+    if lib is None or lib.xta_version() < 3:
+        raise RuntimeError("libxta shorten unavailable")
+    nchan = ctypes.c_int32()
+    ftype = ctypes.c_int32()
+    rc = lib.xta_shorten_probe(payload, len(payload),
+                               ctypes.byref(nchan), ctypes.byref(ftype))
+    if rc:
+        raise ValueError(f"shorten probe failed ({rc})")
+    if sample_count is None:
+        # worst-case lossless expansion bound: >= 1 bit per sample
+        cap = max(1024, 8 * len(payload) // nchan.value + 512)
+    else:
+        cap = sample_count
+    out = np.empty((cap, nchan.value), np.int32)
+    rows = lib.xta_shorten_decode(
+        payload, len(payload),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    if rows < 0:
+        raise ValueError(f"shorten decode failed ({rows})")
+    return out[:rows if sample_count is None else min(rows, sample_count)]
+
+
 class ArkStream:
-    """Sequential native iterator over a binary ark file: yields
-    ``(key, (rows, cols) float32 matrix)`` — the C++ replacement for the
-    Python ``read_mat_ark`` loop on the extraction hot path."""
+    """Sequential native iterator over a binary ark file OR an open file
+    descriptor (pass an int — e.g. a pipe's read end): yields ``(key,
+    (rows, cols) float32 matrix)`` — the C++ replacement for the Python
+    ``read_mat_ark`` loop on the extraction hot path.  FV/DV vector
+    entries come back as 1×dim matrices."""
 
     _KEY_CAP = 1024
 
-    def __init__(self, path: str):
+    def __init__(self, path_or_fd):
         lib = get_lib()
         if lib is None or lib.xta_version() < 2:
             raise RuntimeError("libxta streaming unavailable")
         self._lib = lib
-        self._h = lib.xta_stream_open(path.encode())
+        if isinstance(path_or_fd, int):
+            if lib.xta_version() < 3:
+                raise RuntimeError("libxta fd streaming needs version >= 3")
+            self._h = lib.xta_stream_open_fd(path_or_fd)
+        else:
+            self._h = lib.xta_stream_open(path_or_fd.encode())
         if not self._h:
-            raise IOError(f"cannot open ark {path}")
-        self._path = path
+            raise IOError(f"cannot open ark {path_or_fd}")
+        self._path = str(path_or_fd)
 
     def __iter__(self):
         return self
@@ -171,6 +230,57 @@ class ArkStream:
             self.close()
         except Exception:
             pass
+
+
+def read_vec_matrix(path_or_fd, dim_hint: int = 512,
+                    batch_rows: int = 65536):
+    """Bulk-read an ark of same-dim float vectors natively: returns
+    ``(keys, (N, dim) float32)`` with ONE ctypes crossing per
+    ``batch_rows`` entries (reading 100k PLDA x-vectors one entry at a
+    time is Python-overhead-bound)."""
+    lib = get_lib()
+    if lib is None or lib.xta_version() < 3:
+        raise RuntimeError("libxta bulk vector read unavailable")
+    stream = ArkStream(path_or_fd)
+    key_stride = 256
+    keys = []
+    chunks = []
+    dim = None
+    try:
+        while True:
+            # first call reads ONE row with a generous float budget to
+            # learn the true dim; later calls size buffers exactly
+            cap = batch_rows if dim else 1
+            buf = np.empty(cap * dim if dim else max(dim_hint, 4096),
+                           np.float32)
+            # np.empty, not create_string_buffer: no 16 MB memset per batch
+            kbuf = np.empty(cap * key_stride, np.uint8)
+            dim_out = ctypes.c_int32()
+            kused = ctypes.c_int64()
+            n = lib.xta_stream_read_vecs(
+                stream._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                buf.size, kbuf.ctypes.data_as(ctypes.c_char_p),
+                cap * key_stride, cap,
+                ctypes.byref(dim_out), ctypes.byref(kused))
+            if n < 0:
+                raise IOError(f"bulk vector read failed ({n})")
+            if n == 0:
+                break
+            if dim is None:
+                dim = dim_out.value
+            elif dim_out.value != dim:
+                raise IOError("ragged vector dims in ark")
+            chunks.append(buf[: n * dim].reshape(n, dim).copy())
+            keys.extend(kbuf[: kused.value].tobytes()
+                        .decode("latin1").splitlines())
+            if n < cap:
+                break
+    finally:
+        stream.close()
+    if not chunks:
+        return [], np.empty((0, dim_hint), np.float32)
+    return keys, (chunks[0] if len(chunks) == 1
+                  else np.concatenate(chunks, axis=0))
 
 
 def materialize_chunks(sources: Sequence[Tuple[str, int, int, int]],

@@ -22,6 +22,7 @@
 //
 // Build: make -C xvector_tpu/runtime   (g++ -O3 -march=native -fopenmp)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -33,6 +34,8 @@
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+
+#include <unistd.h>  // dup (xta_stream_open_fd)
 
 namespace {
 
@@ -73,10 +76,8 @@ static int read_exact(std::FILE* f, void* dst, size_t n) {
   return std::fread(dst, 1, n, f) == n ? 0 : -1;
 }
 
-// Decode a Kaldi binary matrix payload starting AFTER the \0B marker.
-static int decode_mat(std::FILE* f, Matrix* out) {
-  char hdr[3];
-  if (read_exact(f, hdr, 3)) return -1;
+// Decode a matrix payload given its already-consumed 3-byte format tag.
+static int decode_mat_body(std::FILE* f, const char* hdr, Matrix* out) {
   auto read_i32 = [&](int32_t* v) -> int {
     unsigned char size;
     if (read_exact(f, &size, 1) || size != 4) return -1;
@@ -133,6 +134,25 @@ static int decode_mat(std::FILE* f, Matrix* out) {
     return 0;
   }
   return -2;  // unknown header
+}
+
+// Decode a Kaldi binary matrix payload starting AFTER the \0B marker.
+static int decode_mat(std::FILE* f, Matrix* out) {
+  char hdr[3];
+  if (read_exact(f, hdr, 3)) return -1;
+  return decode_mat_body(f, hdr, out);
+}
+
+// Consume n bytes without seeking (works on pipes).
+static int skip_bytes(std::FILE* f, int64_t n) {
+  char scratch[4096];
+  while (n > 0) {
+    size_t chunk = n > (int64_t)sizeof(scratch) ? sizeof(scratch)
+                                                : (size_t)n;
+    if (std::fread(scratch, 1, chunk, f) != chunk) return -1;
+    n -= (int64_t)chunk;
+  }
+  return 0;
 }
 
 static int read_mat_at(const char* path, int64_t offset, Matrix* out) {
@@ -262,6 +282,21 @@ void* xta_stream_open(const char* path) {
   return s;
 }
 
+// Same, over an already-open file descriptor (a pipe's read end, a
+// socket, stdin).  The fd is dup()ed so the caller's handle stays
+// independent; covers the reference's piped extraction input
+// (extract_xvectors.sh:68) without a temp file.
+void* xta_stream_open_fd(int fd) {
+  int owned = dup(fd);
+  if (owned < 0) return nullptr;
+  std::FILE* f = fdopen(owned, "rb");
+  if (!f) return nullptr;
+  XtaStream* s = new XtaStream;
+  s->f = f;
+  std::setvbuf(f, nullptr, _IOFBF, 1 << 20);
+  return s;
+}
+
 // Advance to the next entry.  Writes the NUL-terminated key (capacity
 // key_cap) and the matrix dims.  FM/DM payloads are left in the stream and
 // decoded straight into the caller's buffer by xta_stream_data (single
@@ -274,37 +309,45 @@ int xta_stream_next(void* handle, char* key, int64_t key_cap, int32_t* rows,
   if (s->pending) {  // caller skipped the previous payload
     const int64_t bytes =
         (int64_t)s->rows * s->cols * (s->fmt == 'D' ? 8 : 4);
-    if (std::fseek(s->f, (long)bytes, SEEK_CUR)) return -8;
+    if (skip_bytes(s->f, bytes)) return -8;  // pipe-safe, no fseek
     s->pending = false;
   }
+  // getc_unlocked: handles are never shared across threads, and the
+  // per-char lock in fgetc dominates key scans on many-small-entry arks
   int64_t n = 0;
-  int ch = std::fgetc(s->f);
+  int ch = getc_unlocked(s->f);
   if (ch == EOF) return 1;
   while (ch != EOF && ch != ' ') {
     if (n + 1 >= key_cap) return -4;
     key[n++] = (char)ch;
-    ch = std::fgetc(s->f);
+    ch = getc_unlocked(s->f);
   }
   if (ch == EOF || n == 0) return -5;
   key[n] = '\0';
-  char marker[2];
-  if (read_exact(s->f, marker, 2) || marker[0] != '\0' || marker[1] != 'B')
+  char head[5];  // \0B marker + 3-byte format tag in one read
+  if (read_exact(s->f, head, 5) || head[0] != '\0' || head[1] != 'B')
     return -6;
-  char hdr[3];
-  if (read_exact(s->f, hdr, 3)) return -7;
+  const char* hdr = head + 2;
   if (!std::memcmp(hdr, "FM ", 3) || !std::memcmp(hdr, "DM ", 3)) {
-    unsigned char sz;
-    if (read_exact(s->f, &sz, 1) || sz != 4 ||
-        read_exact(s->f, &s->rows, 4) ||
-        read_exact(s->f, &sz, 1) || sz != 4 ||
-        read_exact(s->f, &s->cols, 4))
+    unsigned char dims[10];  // (size byte + int32) x 2
+    if (read_exact(s->f, dims, 10) || dims[0] != 4 || dims[5] != 4)
       return -7;
+    std::memcpy(&s->rows, dims + 1, 4);
+    std::memcpy(&s->cols, dims + 6, 4);
+    s->fmt = hdr[0];
+    s->pending = true;
+  } else if (!std::memcmp(hdr, "FV ", 3) || !std::memcmp(hdr, "DV ", 3)) {
+    // float/double vector entry, exposed as a 1 x dim matrix
+    unsigned char dimbuf[5];
+    if (read_exact(s->f, dimbuf, 5) || dimbuf[0] != 4) return -7;
+    int32_t dim;
+    std::memcpy(&dim, dimbuf + 1, 4);
+    s->rows = 1;
+    s->cols = dim;
     s->fmt = hdr[0];
     s->pending = true;
   } else if (!std::memcmp(hdr, "CM ", 3)) {
-    // rewind over the 3-byte sub-header and reuse the seekless decoder
-    if (std::fseek(s->f, -3, SEEK_CUR)) return -8;
-    if (decode_mat(s->f, &s->cur)) return -7;
+    if (decode_mat_body(s->f, hdr, &s->cur)) return -7;
     s->fmt = 'C';
     s->rows = s->cur.rows;
     s->cols = s->cur.cols;
@@ -338,12 +381,310 @@ int xta_stream_data(void* handle, float* out, int64_t cap) {
   return 0;
 }
 
+// Bulk-decode consecutive same-dim vector (FV/DV or 1-row FM/DM) entries
+// into a caller float32 buffer (rows packed contiguously at the true
+// dim) + one newline-separated key blob (*keys_used gets its length).
+// dim is inferred from the first entry and returned via *dim_out.  Stops
+// at EOF or max_rows; a ragged dim is an error (-11).  Returns rows
+// decoded, or <0 on a malformed entry.  One ctypes crossing for a whole
+// ark — the per-entry Python/C boundary is what dominates small-entry
+// reads.
+int64_t xta_stream_read_vecs(void* handle, float* out, int64_t cap_floats,
+                             char* keys, int64_t keys_cap,
+                             int64_t max_rows, int32_t* dim_out,
+                             int64_t* keys_used) {
+  int64_t rows = 0, kpos = 0;
+  int32_t dim = -1;
+  char key[1024];
+  while (rows < max_rows) {
+    int32_t r, c;
+    int rc = xta_stream_next(handle, key, sizeof(key), &r, &c);
+    if (rc == 1) break;           // EOF
+    if (rc) return rc < 0 ? rc : -1;
+    int64_t n = (int64_t)r * c;
+    if (r != 1 && c != 1) return -10;     // not a vector
+    if (dim < 0) dim = (int32_t)n;
+    if (n != dim) return -11;             // ragged dims
+    if ((rows + 1) * (int64_t)dim > cap_floats) return -13;  // overflow
+    // keys go into ONE newline-separated blob: Python recovers them all
+    // with a single split instead of a per-key slice+decode
+    int64_t klen = (int64_t)std::strlen(key);
+    if (kpos + klen + 1 > keys_cap) return -14;
+    std::memcpy(keys + kpos, key, klen);
+    keys[kpos + klen] = '\n';
+    kpos += klen + 1;
+    rc = xta_stream_data(handle, out + rows * dim, dim);
+    if (rc) return -12;
+    ++rows;
+  }
+  *dim_out = dim;
+  *keys_used = kpos;
+  return rows;
+}
+
 void xta_stream_close(void* handle) {
   XtaStream* s = static_cast<XtaStream*>(handle);
   if (s->f) std::fclose(s->f);
   delete s;
 }
 
-int xta_version() { return 2; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// shorten (v0-v2) decoder — the embedded-shorten payload of LDC SPHERE
+// files (sample_coding "pcm,embedded-shorten-v2.00" etc.).  This is the
+// production port of the pure-Python reference in xvector_tpu/io/shorten.py
+// (kept bit-identical; see tests/test_shorten.py parity cases).  Replaces
+// the reference recipe's reliance on the external sph2pipe binary
+// (SURVEY.md K1; e.g. local/make_sre16_eval_BUT.pl:53).
+// ---------------------------------------------------------------------------
+
+namespace shn {
+
+constexpr int kUlongSize = 2, kLpcqSize = 2, kLpcQuant = 5, kXByteSize = 7;
+constexpr int kEnergySize = 3, kBitshiftSize = 2, kFnSize = 2;
+constexpr int kTypeSize = 4, kChanSize = 0, kNSkipSize = 1;
+constexpr int kVerbCkSize = 5, kVerbByteSize = 8, kNWrap = 3;
+constexpr int kBlocksizeLog2 = 8;  // log2(DEFAULT_BLOCK_SIZE 256)
+
+enum Fn { DIFF0 = 0, DIFF1, DIFF2, DIFF3, QUIT, BLOCKSIZE, BITSHIFT,
+          QLPC, ZERO, VERBATIM };
+enum Type { AU1 = 0, S8, U8, S16HL, U16HL, S16LH, U16LH, ULAW, AU2, AU3,
+            ALAW };
+
+struct BitReader {
+  const uint8_t* p;
+  int64_t len, pos = 0;       // byte position
+  uint32_t cur = 0;
+  int nbit = 0;
+  bool overrun = false;
+
+  void refill() {
+    uint32_t w = 0;
+    for (int i = 0; i < 4; ++i) {
+      w = (w << 8) | (pos < len ? p[pos] : 0);
+      if (pos >= len + 4) overrun = true;  // well past the end: corrupt
+      ++pos;
+    }
+    cur = w;
+    nbit = 32;
+  }
+  inline int bit() {
+    if (nbit == 0) refill();
+    return (cur >> --nbit) & 1;
+  }
+  inline int64_t uvar(int k) {
+    int64_t q = 0;
+    while (!bit()) {
+      if (overrun || q > 1 << 20) { overrun = true; return 0; }
+      ++q;
+    }
+    int64_t v = q;
+    for (int i = 0; i < k; ++i) v = (v << 1) | bit();
+    return v;
+  }
+  inline int64_t svar(int k) {
+    int64_t u = uvar(k + 1);
+    return (u & 1) ? ~(u >> 1) : (u >> 1);
+  }
+  inline int64_t ulong_() { return uvar((int)uvar(kUlongSize)); }
+};
+
+inline int64_t cdiv(int64_t a, int64_t b) { return a / b; }  // C trunc
+inline int64_t rshift_round(int64_t x, int n) {
+  return n == 0 ? x : ((x >> (n - 1)) + 1) >> 1;
+}
+
+struct Header {
+  int version = 0, ftype = 0, nchan = 0;
+  int64_t blocksize = 0, maxnlpc = 0, nmean = 0;
+};
+
+// Parse magic + header fields; leaves br positioned after the skip bytes.
+static int parse_header(const uint8_t* data, int64_t len, BitReader* br,
+                        Header* h) {
+  if (len < 5 || std::memcmp(data, "ajkg", 4)) return -1;
+  h->version = data[4];
+  if (h->version > 2) return -2;
+  br->p = data + 5;
+  br->len = len - 5;
+  auto uint_get = [&](int k) {
+    return h->version == 0 ? br->uvar(k) : br->ulong_();
+  };
+  h->ftype = (int)uint_get(kTypeSize);
+  h->nchan = (int)uint_get(kChanSize);
+  h->blocksize = uint_get(kBlocksizeLog2);
+  h->maxnlpc = uint_get(kLpcqSize);
+  h->nmean = uint_get(0);
+  int64_t nskip = uint_get(kNSkipSize);
+  for (int64_t i = 0; i < nskip; ++i) br->uvar(kXByteSize);
+  if (br->overrun || h->nchan < 1 || h->nchan > 8 || h->blocksize < 1 ||
+      h->blocksize > (1 << 20) || h->maxnlpc < 0 || h->maxnlpc > 1024)
+    return -3;
+  switch (h->ftype) {
+    case S8: case U8: case S16HL: case U16HL: case S16LH: case U16LH:
+    case ULAW: case ALAW:
+      return 0;
+    default:
+      return -4;  // AU1/AU2/AU3 (internal ulaw mapping) unsupported
+  }
+}
+
+}  // namespace shn
+
+extern "C" {
+
+// Header-only probe.  Returns 0 and fills nchan/ftype, or <0 on error.
+int xta_shorten_probe(const char* data, int64_t len, int32_t* nchan,
+                      int32_t* ftype) {
+  shn::BitReader br;
+  shn::Header h;
+  int rc = shn::parse_header((const uint8_t*)data, len, &br, &h);
+  if (rc) return rc;
+  *nchan = h.nchan;
+  *ftype = h.ftype;
+  return 0;
+}
+
+// Full decode into out (cap rows x nchan, int32, channel-interleaved).
+// Returns the number of complete per-channel rows produced, or <0.
+int64_t xta_shorten_decode(const char* data, int64_t len, int32_t* out,
+                           int64_t cap) {
+  using namespace shn;
+  BitReader br;
+  Header h;
+  int rc = parse_header((const uint8_t*)data, len, &br, &h);
+  if (rc) return rc;
+  const int64_t lpcqoffset = h.version >= 2 ? (1 << kLpcQuant) : 0;
+  const int64_t type_mean =
+      h.ftype == U8 ? 0x80 :
+      (h.ftype == U16HL || h.ftype == U16LH) ? 0x8000 : 0;
+  const int nchan = h.nchan;
+  const int64_t nwrap = std::max<int64_t>(kNWrap, h.maxnlpc);
+  int64_t blocksize = h.blocksize;
+  const int64_t nmean_w = std::max<int64_t>(1, h.nmean);
+
+  // per-channel state: [history nwrap | block buffer], mean window
+  std::vector<std::vector<int64_t>> buf(
+      nchan, std::vector<int64_t>(nwrap + blocksize, 0));
+  std::vector<std::vector<int64_t>> offset(
+      nchan, std::vector<int64_t>(nmean_w, type_mean));
+  std::vector<int64_t> qlpc(h.maxnlpc > 0 ? h.maxnlpc : kNWrap);
+  std::vector<int64_t> written(nchan, 0);  // rows emitted per channel
+  int bitshift = 0;
+  int chan = 0;
+
+  while (true) {
+    if (br.overrun) return -5;
+    int64_t cmd = br.uvar(kFnSize);
+    if (cmd == QUIT) break;
+    switch (cmd) {
+      case BLOCKSIZE: {
+        int64_t nb = h.version == 0 ? br.uvar(kBlocksizeLog2)
+                                    : br.ulong_();
+        if (nb < 1 || nb > (1 << 20)) return -6;
+        if (nb > blocksize)
+          for (auto& b : buf) b.resize(nwrap + nb);
+        blocksize = nb;
+        continue;
+      }
+      case BITSHIFT:
+        bitshift = (int)br.uvar(kBitshiftSize);
+        continue;
+      case VERBATIM: {
+        int64_t n = br.uvar(kVerbCkSize);
+        for (int64_t i = 0; i < n; ++i) br.uvar(kVerbByteSize);
+        continue;
+      }
+      case ZERO: case DIFF0: case DIFF1: case DIFF2: case DIFF3:
+      case QLPC:
+        break;
+      default:
+        return -7;
+    }
+
+    int resn = 0;
+    if (cmd != ZERO) {
+      resn = (int)br.uvar(kEnergySize);
+      if (h.version == 0) resn -= 1;
+    }
+    auto& off = offset[chan];
+    int64_t coffset;
+    if (h.nmean == 0) {
+      coffset = off[0];
+    } else {
+      int64_t s = h.version >= 2 ? h.nmean / 2 : 0;
+      for (int64_t i = 0; i < h.nmean; ++i) s += off[i];
+      coffset = h.version < 2 ? cdiv(s, h.nmean)
+                              : rshift_round(cdiv(s, h.nmean), bitshift);
+    }
+    int64_t* b = buf[chan].data() + nwrap;   // block region; b[-i] = history
+    switch (cmd) {
+      case ZERO:
+        for (int64_t i = 0; i < blocksize; ++i) b[i] = 0;
+        break;
+      case DIFF0:
+        for (int64_t i = 0; i < blocksize; ++i)
+          b[i] = br.svar(resn) + coffset;
+        break;
+      case DIFF1:
+        for (int64_t i = 0; i < blocksize; ++i)
+          b[i] = br.svar(resn) + b[i - 1];
+        break;
+      case DIFF2:
+        for (int64_t i = 0; i < blocksize; ++i)
+          b[i] = br.svar(resn) + 2 * b[i - 1] - b[i - 2];
+        break;
+      case DIFF3:
+        for (int64_t i = 0; i < blocksize; ++i)
+          b[i] = br.svar(resn) + 3 * b[i - 1] - 3 * b[i - 2] + b[i - 3];
+        break;
+      case QLPC: {
+        int64_t nlpc = br.uvar(kLpcqSize);
+        if (nlpc < 0 || nlpc > nwrap) return -8;
+        for (int64_t j = 0; j < nlpc; ++j) qlpc[j] = br.svar(kLpcQuant);
+        for (int64_t j = 1; j <= nlpc; ++j) b[-j] -= coffset;
+        for (int64_t i = 0; i < blocksize; ++i) {
+          int64_t s = lpcqoffset;
+          for (int64_t j = 0; j < nlpc; ++j) s += qlpc[j] * b[i - j - 1];
+          b[i] = br.svar(resn) + (s >> kLpcQuant);
+        }
+        if (coffset != 0)
+          for (int64_t i = -nlpc; i < blocksize; ++i) b[i] += coffset;
+        break;
+      }
+    }
+    if (br.overrun) return -5;
+    if (h.nmean > 0) {
+      int64_t s = h.version >= 2 ? blocksize / 2 : 0;
+      for (int64_t i = 0; i < blocksize; ++i) s += b[i];
+      for (int64_t i = 1; i < h.nmean; ++i) off[i - 1] = off[i];
+      int64_t m = cdiv(s, blocksize);
+      off[h.nmean - 1] = h.version >= 2 ? (m << bitshift) : m;
+    }
+    // wrap pre-bitshift values into the history region:
+    // new_hist = (old_hist ++ block)[-nwrap:]
+    for (int64_t i = 0; i < nwrap; ++i) {
+      int64_t src = blocksize - nwrap + i;
+      buf[chan][i] = src >= 0 ? b[src] : buf[chan][i + blocksize];
+    }
+    // emit (bitshift applies to output only)
+    int64_t row = written[chan];
+    int64_t n_emit = std::max<int64_t>(0, std::min(blocksize, cap - row));
+    for (int64_t i = 0; i < n_emit; ++i)
+      out[(row + i) * nchan + chan] = (int32_t)(b[i] << bitshift);
+    written[chan] = row + blocksize;
+    chan = (chan + 1) % nchan;
+    // stop once every channel has filled the caller's capacity
+    bool full = true;
+    for (int c = 0; c < nchan; ++c) full = full && written[c] >= cap;
+    if (full) break;
+  }
+  int64_t rows = written[0];
+  for (int c = 1; c < nchan; ++c) rows = std::min(rows, written[c]);
+  return std::min(rows, cap);
+}
+
+int xta_version() { return 3; }
 
 }  // extern "C"

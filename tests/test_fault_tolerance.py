@@ -70,6 +70,69 @@ def test_crash_and_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_iteration_zero_failure_rolls_back_to_model_zero(tmp_path):
+    """A failure DURING iteration 0 (after some updates) must retry from
+    the saved initial parameters (model_0), not from half-updated params
+    (VERDICT r1 #10); the retried run must match an uninterrupted one."""
+    batches = _batches()
+
+    tr_ref = _mk(tmp_path, "ref0")
+    tr_ref.train(lambda i: iter(batches), num_archives=2)
+    want = np.asarray(tr_ref.params["output"]["b"])
+
+    cfg = TrainConfig(num_targets=NUM_SPK, model="tiny",
+                      compute_dtype="float32", num_epochs=2, block_size=2,
+                      max_iteration_retries=1, retry_backoff_s=0.0)
+    mesh = meshlib.make_mesh(data=2, model=1)
+    tr = Trainer(cfg, str(tmp_path / "it0"), mesh=mesh, feat_dim=FEAT)
+    fail_once = {"armed": True}
+
+    def loader(i):
+        def gen():
+            for j, b in enumerate(batches):
+                # yield one minibatch (params get updated), then explode
+                if j == 1 and fail_once.pop("armed", False):
+                    raise _Boom("mid-iteration-0 failure")
+                yield b
+        return gen()
+
+    tr.train(loader, num_archives=2)
+    got = np.asarray(tr.params["output"]["b"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_retry_rng_differs_between_attempts(tmp_path):
+    """Retries must not be bit-identical replays: with dropout active, the
+    attempt index folds into the iteration RNG so a data-dependent
+    failure path can change (VERDICT r1 #10)."""
+    from xvector_tpu.models import tdnn
+    tdnn.MODEL_ZOO.setdefault("tiny_dropout", tdnn.TdnnConfig(
+        name="tiny_dropout", channels=(32, 32, 32, 32, 96),
+        embed_dims=(64, 64), use_dropout=True))
+    cfg = TrainConfig(num_targets=NUM_SPK, model="tiny_dropout",
+                      compute_dtype="float32", num_epochs=1, block_size=2)
+    mesh = meshlib.make_mesh(data=2, model=1)
+    batches = _batches()
+
+    tr_a = Trainer(cfg, str(tmp_path / "a"), mesh=mesh, feat_dim=FEAT)
+    tr_a.train_one_iteration(0, iter(batches), lr=0.01, dropout=0.5,
+                             shrink=1.0, attempt=0)
+    a = np.asarray(tr_a.params["output"]["b"])
+
+    tr_b = Trainer(cfg, str(tmp_path / "b"), mesh=mesh, feat_dim=FEAT)
+    tr_b.train_one_iteration(0, iter(batches), lr=0.01, dropout=0.5,
+                             shrink=1.0, attempt=1)
+    b = np.asarray(tr_b.params["output"]["b"])
+    assert not np.allclose(a, b), "attempt index did not change the RNG"
+
+    # and attempt=0 stays deterministic across runs
+    tr_c = Trainer(cfg, str(tmp_path / "c"), mesh=mesh, feat_dim=FEAT)
+    tr_c.train_one_iteration(0, iter(batches), lr=0.01, dropout=0.5,
+                             shrink=1.0, attempt=0)
+    np.testing.assert_allclose(
+        a, np.asarray(tr_c.params["output"]["b"]), atol=0)
+
+
 def test_step_timer_summary():
     t = StepTimer()
     with t("disk"):

@@ -55,6 +55,44 @@ def test_dp_invariance_1_vs_8(tmp_path):
     np.testing.assert_allclose(w1, w8, atol=1e-2)
 
 
+def test_dp_invariance_1_vs_8_strict_one_step(tmp_path):
+    """VERDICT r1 #7: one SGD step, 1-device vs 8-device GSPMD, at
+    near-bitwise tolerance (<=1e-6).  The update is linear in the
+    gradient, so the ONLY legitimate difference is f32 reduction order in
+    the batch-summed gradients — a mis-scaled collective (e.g. pmean vs
+    psum confusion, or a lost 1/N) shows up 5+ orders of magnitude above
+    this bound and can no longer hide inside the loose 3-iteration Adam
+    check below."""
+    devs = jax.devices()
+    assert len(devs) >= 8
+
+    def one_step(mesh, tag):
+        cfg = TrainConfig(num_targets=NUM_SPK, model="tiny",
+                          compute_dtype="float32", block_size=2,
+                          optimizer="sgd", momentum=0.5)
+        tr = Trainer(cfg, str(tmp_path / tag), mesh=mesh, feat_dim=FEAT)
+        stats = tr.train_one_iteration(0, iter(_batches(n=2)), lr=1e-3,
+                                       dropout=0.0, shrink=1.0)
+        return tr, stats
+
+    tr1, s1 = one_step(meshlib.make_mesh(data=1, model=1,
+                                         devices=devs[:1]), "strict1")
+    tr8, s8 = one_step(meshlib.make_mesh(data=8, model=1,
+                                         devices=devs[:8]), "strict8")
+    # loss: ~1e-6 RELATIVE reduction-order noise on a value of ~3 (f32
+    # partial sums over T=64 frames x 32 examples); a lost or doubled
+    # collective scale factor would show at O(1)
+    assert abs(s1["loss"] - s8["loss"]) < 2e-5
+    for a, b in zip(jax.tree.leaves(tr1.params),
+                    jax.tree.leaves(tr8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(tr1.state),
+                    jax.tree.leaves(tr8.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_dp_vs_model_parallel_equivalence(tmp_path):
     devs = jax.devices()
     tr_a, sa = _run(tmp_path, meshlib.make_mesh(data=8, model=1,

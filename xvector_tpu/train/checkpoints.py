@@ -55,6 +55,11 @@ def _iter_dir(work_dir: str, it: int) -> str:
     return os.path.join(os.path.abspath(work_dir), f"model_{it}")
 
 
+def iteration_path(work_dir: str, it: int) -> str:
+    """Public path accessor for iteration ``it``'s checkpoint dir."""
+    return _iter_dir(work_dir, it)
+
+
 def is_complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "done"))
 

@@ -307,17 +307,22 @@ class Trainer:
 
     # -- core loops --------------------------------------------------------
     def train_one_iteration(self, it: int, batches: Iterable, lr: float,
-                            dropout: float, shrink: float) -> Dict[str, float]:
+                            dropout: float, shrink: float,
+                            attempt: int = 0) -> Dict[str, float]:
         """One iteration = one pass over one archive's minibatches
         (train_dnn_one_iteration semantics, minus the process boundary).
 
         ``batches`` yields (feats fp16 (B, Tpad, F), labels (B,), true_len).
         Minibatches of equal padded shape are stacked ``block_size`` at a
         time and run as one device dispatch; ragged leftovers use the
-        per-minibatch step.
+        per-minibatch step.  ``attempt`` > 0 (an iteration retry) folds
+        into the RNG so a data-dependent failure isn't replayed
+        bit-identically and allowed to burn every retry.
         """
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.random_seed + 1000 * it)
+        if attempt:
+            rng = jax.random.fold_in(rng, attempt)
         lr_ = jnp.float32(lr)
         keep_ = jnp.float32(1.0 - dropout)
         shrink_ = jnp.float32(shrink)
@@ -428,6 +433,12 @@ class Trainer:
 
         checkpoints.pin_seed(self.work_dir, cfg.random_seed)
         start_iter = checkpoints.restore_latest(self, start_iter)
+        if start_iter == 0 and not checkpoints.is_complete(
+                checkpoints.iteration_path(self.work_dir, 0)):
+            # model_0: the initial parameters, saved BEFORE any update
+            # (train_dnn.py:494) — a failure inside iteration 0 can then
+            # roll back instead of retrying from half-updated params
+            checkpoints.save_iteration(self, 0)
 
         for it in range(start_iter, num_iters):
             lr = schedules.learning_rate(
@@ -444,7 +455,7 @@ class Trainer:
                 try:
                     stats = self.train_one_iteration(
                         it, archive_batches(it % num_archives), lr, drop,
-                        shrink)
+                        shrink, attempt=attempt)
                     break
                 except Exception:
                     # device post-mortem next to the retry record (the

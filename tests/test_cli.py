@@ -255,3 +255,120 @@ def test_run_cli_with_corpus_and_augmentation(tmp_path, capsys):
     scp = (tmp_path / "exp" / "feats_all.ark.scp").read_text()
     assert "spk0_u0-reverb" in scp and "spk0_u0-noise" in scp \
         and "spk0_u0-music" in scp
+
+
+def test_make_features_batched_matches_single(tmp_path):
+    """The bucketed/batched feature stage (VERDICT r1 #5) must reproduce
+    the per-utterance mfcc/energy_vad outputs row for row (dither off,
+    uncompressed arks for exact comparison)."""
+    from xvector_tpu.cli.run import Recipe, RecipeConfig
+    from xvector_tpu.io.datadir import DataDir
+    from xvector_tpu.ops import features as F
+
+    rng = np.random.RandomState(0)
+    lens = [8000, 4400, 16000, 7999, 12345, 6000, 9000]
+    waves = {f"u{i}": (rng.randn(n) * 2000).astype(np.float32)
+             for i, n in enumerate(lens)}
+    data = DataDir(utt2spk={u: "spk" for u in waves})
+    recipe = Recipe(RecipeConfig(work_dir=str(tmp_path),
+                                 compress_feats=False,
+                                 feature_batch_size=3))
+    out = recipe.make_features(data, lambda u: waves[u], split="t",
+                               dither_seed=None)
+    feats = dict(kio.read_mat_scp(str(tmp_path / "feats_t.ark.scp")))
+    vads = dict(kio.read_vec_flt_scp(str(tmp_path / "vad_t.ark.scp")))
+    cfg = F.MfccConfig(dither=0.0)
+    for u, w in waves.items():
+        want = np.asarray(F.mfcc(w, cfg))
+        np.testing.assert_allclose(feats[u], want, rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(
+            vads[u], np.asarray(F.energy_vad(want)))
+        assert out.utt2num_frames[u] == want.shape[0]
+
+
+def test_force_from_stage_clears_only_later_stages(tmp_path):
+    from xvector_tpu.cli.run import Recipe, RecipeConfig
+
+    recipe = Recipe(RecipeConfig(work_dir=str(tmp_path)))
+    artifacts = {
+        1: ["feats_all.ark", "feats_all.ark.done", "vad_all.ark.scp"],
+        2: ["egs_feats.ark.done", "egs.0.xta", "pdf2num",
+            "valid_egs.xta"],
+        3: ["exp/model_3/done"],
+        4: ["xvector_all.ark", "xvector_all.scp.done"],
+    }
+
+    def make_all():
+        for files in artifacts.values():
+            for f in files:
+                p = tmp_path / f
+                p.parent.mkdir(parents=True, exist_ok=True)
+                p.write_text("x")
+
+    make_all()
+    recipe.force_from_stage(4)
+    assert (tmp_path / "feats_all.ark.done").exists()
+    assert (tmp_path / "exp/model_3/done").exists()
+    assert not (tmp_path / "xvector_all.scp.done").exists()
+
+    make_all()
+    recipe.force_from_stage(3)
+    assert (tmp_path / "egs.0.xta").exists()
+    assert not (tmp_path / "exp").exists()
+    assert not (tmp_path / "xvector_all.ark").exists()
+
+    make_all()
+    recipe.force_from_stage(1)
+    for files in artifacts.values():
+        for f in files:
+            assert not (tmp_path / f).exists(), f
+
+
+def test_extract_cli_from_wav(tmp_path):
+    """--wav-rspecifier: extraction straight from a wav.scp (incl. an
+    embedded-shorten SPHERE channel spec) through the one-dispatch
+    waveform pipeline."""
+    import struct
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import shorten_ref as enc
+
+    egs = tmp_path / "egs"
+    egs.mkdir()
+    _make_egs(egs, n_archives=1)
+    work = str(tmp_path / "exp")
+    train_dnn.main([
+        "--model=tiny", f"--num-targets={NUM_SPK}", "--num-epochs=1",
+        "--compute-dtype=float32", f"--egs-dir={egs}", f"--dir={work}",
+        "--block-size=2",
+    ])
+    rng = np.random.RandomState(3)
+
+    def riff(samples):
+        data = samples.astype("<i2").tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                        16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    w0 = np.clip(rng.randn(9000) * 2000, -32768, 32767)
+    (tmp_path / "a.wav").write_bytes(riff(w0))
+    stereo = np.clip(np.cumsum(rng.randint(-300, 300, size=(8000, 2)),
+                               axis=0), -32768, 32767).astype(np.int64)
+    (tmp_path / "b.sph").write_bytes(enc.sphere_with_shorten(stereo))
+    wav_scp = tmp_path / "wav.scp"
+    wav_scp.write_text(
+        f"utt_a {tmp_path}/a.wav\nutt_b {tmp_path}/b.sph#ch1\n")
+
+    out_ark = str(tmp_path / "xv_wav.ark")
+    extract_embedding.main([
+        f"--model-dir={work}", "--model=tiny",
+        f"--num-targets={NUM_SPK}",
+        f"--wav-rspecifier=scp:{wav_scp}",
+        f"--output-ark={out_ark}", "--batch-size=2",
+        "--compute-dtype=float32",
+    ])
+    xv = dict(kio.read_vec_flt_scp(out_ark.replace(".ark", ".scp")))
+    assert set(xv) == {"utt_a", "utt_b"}
+    assert all(np.isfinite(v).all() and v.shape == (64,)
+               for v in xv.values())

@@ -217,3 +217,89 @@ def test_wave_to_xvector_matches_stepwise_chain():
         ref = np.asarray(tdnn.extract_xvector(
             cfg, params, state, jnp.asarray(voiced[None])))[0]
         np.testing.assert_allclose(xv[i], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_wave_extractor_matches_feature_path():
+    """WaveExtractor (the production --from-wav mode) must agree with the
+    explicit host chain + feature extractor on <= max_chunk utterances,
+    across mixed length buckets and batch boundaries."""
+    import jax.numpy as jnp
+    from xvector_tpu.ops import features as F
+    from xvector_tpu.extract.extractor import (WaveExtractor,
+                                               WaveExtractorConfig)
+
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), cfg, 8)
+    rng = np.random.RandomState(1)
+    utts = {f"u{i}": (rng.randn(n) * 2000).astype(np.float32)
+            for i, n in enumerate([8000, 4000, 23000, 8000, 15999, 6000])}
+
+    wex = WaveExtractor(cfg, params, state,
+                        WaveExtractorConfig(batch_size=2,
+                                            compute_dtype="float32"))
+    got = wex.extract(iter(utts.items()))
+
+    mfcc_cfg = F.MfccConfig(dither=0.0)
+    want = {}
+    for utt, wave in utts.items():
+        feats = np.asarray(F.mfcc(wave, mfcc_cfg))
+        vad = np.asarray(F.energy_vad(feats))
+        feats = np.asarray(F.sliding_cmvn(feats))
+        voiced = F.select_voiced_frames(feats, vad)
+        if voiced.shape[0] < 25:
+            continue
+        want[utt] = np.asarray(tdnn.extract_xvector(
+            cfg, params, state, voiced[None],
+            compute_dtype=jnp.float32))[0]
+    assert set(got) == set(want)
+    for utt in want:
+        np.testing.assert_allclose(got[utt], want[utt], rtol=1e-3,
+                                   atol=2e-3)
+
+
+def test_wave_extractor_long_utterance_falls_back_to_chunking():
+    """> max_chunk frames: the wave extractor must reproduce the feature
+    extractor's chunk-and-average protocol (CMVN/VAD over the FULL
+    utterance first, reference models.py:396-421)."""
+    import jax.numpy as jnp
+    from xvector_tpu.ops import features as F
+    from xvector_tpu.extract.extractor import (WaveExtractor,
+                                               WaveExtractorConfig,
+                                               preprocess)
+
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), cfg, 8)
+    rng = np.random.RandomState(2)
+    wave = (rng.randn(60000) * 2000).astype(np.float32)  # 7.5 s
+
+    wcfg = WaveExtractorConfig(max_chunk=300, batch_size=4,
+                               compute_dtype="float32")
+    wex = WaveExtractor(cfg, params, state, wcfg)
+    got = wex.extract(iter([("long", wave)]))
+
+    mfcc_cfg = F.MfccConfig(dither=0.0)
+    feats = np.asarray(F.mfcc(wave, mfcc_cfg))
+    vad = np.asarray(F.energy_vad(feats))
+    feats = preprocess(feats, vad=vad)
+    ref_ex = XvectorExtractor(cfg, params, state,
+                              ExtractorConfig(max_chunk=300,
+                                              compute_dtype="float32"))
+    want = ref_ex.extract(iter([("long", feats)]))
+    np.testing.assert_allclose(got["long"], want["long"], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_wave_extractor_skips_silence():
+    from xvector_tpu.extract.extractor import (WaveExtractor,
+                                               WaveExtractorConfig)
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), cfg, 8)
+    rng = np.random.RandomState(3)
+    wex = WaveExtractor(cfg, params, state,
+                        WaveExtractorConfig(batch_size=2,
+                                            compute_dtype="float32"))
+    out = wex.extract(iter([
+        ("silence", np.zeros(8000, np.float32)),
+        ("speech", (rng.randn(8000) * 2000).astype(np.float32))]))
+    assert "silence" not in out and "speech" in out
+    assert np.isfinite(out["speech"]).all()

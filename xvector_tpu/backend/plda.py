@@ -113,10 +113,16 @@ class Plda:
 
     # -- projection -------------------------------------------------------
     def project(self, v: np.ndarray,
-                simple_length_norm: bool = False) -> np.ndarray:
+                simple_length_norm: bool = False,
+                num_examples: int = 1) -> np.ndarray:
         """Kaldi Plda::TransformIvector with normalize_length=true: apply
         the diagonalising transform then rescale so the expected squared
-        norm matches its model value (plda.cc GetNormalizationFactor)."""
+        norm matches its model value (plda.cc GetNormalizationFactor).
+
+        ``num_examples``: when ``v`` is the AVERAGE of n enrollment
+        utterances, its model covariance is ``diag(psi) + I/n`` — the
+        ``--num-utts`` normalisation of ``ivector-plda-scoring``
+        (run.sh:281-287)."""
         v = np.asarray(v, np.float64)
         single = v.ndim == 1
         if single:
@@ -126,7 +132,7 @@ class Plda:
         if simple_length_norm:
             factor = np.sqrt(d) / np.linalg.norm(u, axis=1)
         else:
-            inv_covar = 1.0 / (1.0 + self.psi)
+            inv_covar = 1.0 / (1.0 / num_examples + self.psi)
             factor = np.sqrt(d / np.einsum("nd,d,nd->n", u, inv_covar, u))
         u = u * factor[:, None]
         return u[0] if single else u
@@ -164,12 +170,20 @@ class Plda:
                      num_utts: Optional[Dict[str, int]] = None
                      ) -> np.ndarray:
         """Score (enroll_id, test_id) trials; vectors are raw (unprojected)
-        x-vectors — projection happens here."""
+        x-vectors — projection happens here.  ``num_utts`` drives BOTH the
+        projection normalisation (diag(psi)+I/n covariance of an n-average)
+        and the same-speaker hypothesis in the LLR, exactly as
+        ``ivector-plda-scoring --num-utts=...`` (run.sh:281-287)."""
         e_keys = list(enroll_vecs)
         t_keys = list(test_vecs)
-        e_proj = {k: v for k, v in zip(
-            e_keys, self.project(np.stack([enroll_vecs[k]
-                                           for k in e_keys])))}
+        e_proj = {}
+        by_n: Dict[int, list] = {}
+        for k in e_keys:
+            by_n.setdefault(int((num_utts or {}).get(k, 1)), []).append(k)
+        for n, keys in by_n.items():
+            proj = self.project(np.stack([enroll_vecs[k] for k in keys]),
+                                num_examples=n)
+            e_proj.update(zip(keys, proj))
         t_proj = {k: v for k, v in zip(
             t_keys, self.project(np.stack([test_vecs[k]
                                            for k in t_keys])))}

@@ -40,9 +40,13 @@ __all__ = ["project_device", "score_matrix", "score_trials_device",
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 
-def project_device(plda: Plda, v, simple_length_norm: bool = False):
+def project_device(plda: Plda, v, simple_length_norm: bool = False,
+                   num_examples=1):
     """Device version of :meth:`Plda.project` (transform to the
-    diagonalised space + Kaldi length normalisation)."""
+    diagonalised space + Kaldi length normalisation).  ``num_examples``
+    (scalar or (N,)) is the count behind each averaged vector — its model
+    covariance is ``diag(psi) + I/n`` (plda.cc GetNormalizationFactor
+    with the --num-utts path)."""
     v = jnp.asarray(v, jnp.float32)
     u = jnp.matmul(v - jnp.asarray(plda.mean, jnp.float32),
                    jnp.asarray(plda.transform, jnp.float32).T,
@@ -51,8 +55,11 @@ def project_device(plda: Plda, v, simple_length_norm: bool = False):
     if simple_length_norm:
         factor = jnp.sqrt(float(d)) / jnp.linalg.norm(u, axis=1)
     else:
-        inv_covar = 1.0 / (1.0 + jnp.asarray(plda.psi, jnp.float32))
-        factor = jnp.sqrt(d / jnp.einsum("nd,d,nd->n", u, inv_covar, u))
+        n = jnp.broadcast_to(jnp.asarray(num_examples, jnp.float32),
+                             (u.shape[0],))[:, None]
+        inv_covar = 1.0 / (1.0 / n + jnp.asarray(plda.psi,
+                                                 jnp.float32)[None, :])
+        factor = jnp.sqrt(d / jnp.einsum("nd,nd,nd->n", u, inv_covar, u))
     return u * factor[:, None]
 
 
@@ -107,9 +114,10 @@ def score_trials_device(plda: Plda,
     t_keys = list(test_vecs)
     e_idx = {k: i for i, k in enumerate(e_keys)}
     t_idx = {k: i for i, k in enumerate(t_keys)}
-    e = project_device(plda, np.stack([enroll_vecs[k] for k in e_keys]))
-    t = project_device(plda, np.stack([test_vecs[k] for k in t_keys]))
     n = np.array([(num_utts or {}).get(k, 1) for k in e_keys], np.float32)
+    e = project_device(plda, np.stack([enroll_vecs[k] for k in e_keys]),
+                       num_examples=n)
+    t = project_device(plda, np.stack([test_vecs[k] for k in t_keys]))
     s = np.asarray(score_matrix(plda, e, t, n))
     rows = np.array([e_idx[a] for a, _ in trials])
     cols = np.array([t_idx[b] for _, b in trials])

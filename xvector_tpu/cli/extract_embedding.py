@@ -27,7 +27,15 @@ def get_args(argv=None):
                    help="trainer work dir (uses model_final)")
     p.add_argument("--model", default="ModelWithoutDropout")
     p.add_argument("--num-targets", type=int, required=True)
-    p.add_argument("--feats-rspecifier", required=True)
+    p.add_argument("--feats-rspecifier", default="",
+                   help="feature ark/scp/pipe input (mutually exclusive "
+                        "with --wav-rspecifier)")
+    p.add_argument("--wav-rspecifier", default="",
+                   help="wav.scp input: extraction runs straight from the "
+                        "waveform as ONE on-device program per length "
+                        "bucket (MFCC+VAD+CMVN+TDNN fused; collapses "
+                        "run.sh:97-101 + extract_xvectors.sh:68 + the "
+                        "forward into a single dispatch)")
     p.add_argument("--vad-scp", default="",
                    help="optional vad.scp for voiced-frame selection")
     p.add_argument("--apply-cmvn", action="store_true",
@@ -74,24 +82,48 @@ def main(argv=None):
     else:
         checkpoints.restore_into(trainer, os.path.realpath(final))
 
-    vad = dict(kio.read_vec_flt_scp(args.vad_scp)) if args.vad_scp else {}
-    ex = XvectorExtractor(
-        trainer.model_cfg, trainer.params, trainer.state,
-        ExtractorConfig(min_chunk=args.min_chunk_size,
-                        max_chunk=args.chunk_size,
-                        batch_size=args.batch_size,
-                        compute_dtype=args.compute_dtype))
+    if bool(args.feats_rspecifier) == bool(args.wav_rspecifier):
+        sys.exit("pass exactly one of --feats-rspecifier/--wav-rspecifier")
 
-    def stream():
-        reader = (kio.read_mat_scp(args.feats_rspecifier)
-                  if args.feats_rspecifier.startswith("scp")
-                  else kio.read_mat_ark_fast(args.feats_rspecifier))
-        for i, (utt, feats) in enumerate(reader):
-            if args.num_shards > 1 and i % args.num_shards != args.shard:
-                continue
-            if args.apply_cmvn or utt in vad:
-                feats = preprocess(feats, vad=vad.get(utt))
-            yield utt, feats
+    if args.wav_rspecifier:
+        from ..extract.extractor import (WaveExtractor,
+                                         WaveExtractorConfig, read_wav_scp)
+        ex = WaveExtractor(
+            trainer.model_cfg, trainer.params, trainer.state,
+            WaveExtractorConfig(min_chunk=args.min_chunk_size,
+                                max_chunk=args.chunk_size,
+                                batch_size=args.batch_size,
+                                compute_dtype=args.compute_dtype))
+
+        def stream():
+            wav_path = args.wav_rspecifier
+            for pre in ("scp:", "scp,p:"):
+                if wav_path.startswith(pre):
+                    wav_path = wav_path[len(pre):]
+            for i, (utt, wave) in enumerate(read_wav_scp(wav_path)):
+                if args.num_shards > 1 and i % args.num_shards != args.shard:
+                    continue
+                yield utt, wave
+    else:
+        vad = (dict(kio.read_vec_flt_scp(args.vad_scp))
+               if args.vad_scp else {})
+        ex = XvectorExtractor(
+            trainer.model_cfg, trainer.params, trainer.state,
+            ExtractorConfig(min_chunk=args.min_chunk_size,
+                            max_chunk=args.chunk_size,
+                            batch_size=args.batch_size,
+                            compute_dtype=args.compute_dtype))
+
+        def stream():
+            reader = (kio.read_mat_scp(args.feats_rspecifier)
+                      if args.feats_rspecifier.startswith("scp")
+                      else kio.read_mat_ark_fast(args.feats_rspecifier))
+            for i, (utt, feats) in enumerate(reader):
+                if args.num_shards > 1 and i % args.num_shards != args.shard:
+                    continue
+                if args.apply_cmvn or utt in vad:
+                    feats = preprocess(feats, vad=vad.get(utt))
+                yield utt, feats
 
     n = 0
     xvectors = {}

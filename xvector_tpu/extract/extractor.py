@@ -34,7 +34,8 @@ from ..models import tdnn
 from ..ops import features as F
 
 __all__ = ["ExtractorConfig", "XvectorExtractor", "preprocess",
-           "speaker_means", "make_wave_to_xvector"]
+           "speaker_means", "make_wave_to_xvector", "WaveExtractor",
+           "WaveExtractorConfig", "read_wav_scp"]
 
 
 @dataclass(frozen=True)
@@ -223,6 +224,142 @@ class XvectorExtractor:
     def extract(self, stream: Iterable[Tuple[str, np.ndarray]]
                 ) -> Dict[str, np.ndarray]:
         return dict(self.extract_iter(stream))
+
+
+@dataclass(frozen=True)
+class WaveExtractorConfig:
+    """Config for :class:`WaveExtractor` (the ``--from-wav`` mode)."""
+    min_chunk: int = 25        # run_xvector.sh:75 (voiced frames)
+    max_chunk: int = 10000     # run_xvector.sh:70 (frames = 100 s @ 8 kHz)
+    batch_size: int = 16
+    cmvn_window: int = 300
+    dither_seed: int = 0       # 0 disables dither (deterministic extract)
+    compute_dtype: str = "bfloat16"
+    # waveform-length buckets in seconds; each bucket compiles one XLA
+    # program over the whole mfcc→vad→cmvn→tdnn chain
+    bucket_seconds: Tuple[float, ...] = (
+        1, 2, 3, 5, 8, 12, 20, 30, 45, 60, 80, 100)
+
+
+class WaveExtractor:
+    """Production wave → x-vector extraction: batches raw waveforms
+    through the one-dispatch :func:`make_wave_to_xvector` pipeline.
+
+    This collapses the reference's entire extraction chain — per-utterance
+    `compute-mfcc-feats | compute-vad-energy | apply-cmvn-sliding |
+    select-voiced-frames` pipes (run.sh:97-101, extract_xvectors.sh:68)
+    plus the TF forward — into one jitted XLA program per length bucket.
+
+    Utterances longer than ``max_chunk`` frames take a two-stage path:
+    features + preprocessing on host (identical ops), then the feature
+    extractor's chunk-and-average protocol — matching the reference,
+    whose CMVN/VAD run over the FULL utterance before chunking
+    (models.py:396-421).
+    """
+
+    def __init__(self, model_cfg: tdnn.TdnnConfig, params, state,
+                 cfg: WaveExtractorConfig = WaveExtractorConfig(),
+                 mfcc_cfg: F.MfccConfig = F.MfccConfig(),
+                 vad_cfg: F.VadConfig = F.VadConfig()):
+        self.cfg = cfg
+        self.mfcc_cfg = mfcc_cfg
+        self.vad_cfg = vad_cfg
+        if cfg.dither_seed == 0:
+            import dataclasses
+            mfcc_cfg = dataclasses.replace(mfcc_cfg, dither=0.0)
+            self.mfcc_cfg = mfcc_cfg
+        self._fn = make_wave_to_xvector(
+            model_cfg, mfcc_cfg, vad_cfg, cmvn_window=cfg.cmvn_window,
+            compute_dtype=jnp.dtype(cfg.compute_dtype))
+        self.params = params
+        self.state = state
+        self._key = (jax.random.PRNGKey(cfg.dither_seed)
+                     if cfg.dither_seed else None)
+        # feature-path extractor for > max_chunk utterances
+        self._long = XvectorExtractor(
+            model_cfg, params, state,
+            ExtractorConfig(min_chunk=cfg.min_chunk,
+                            max_chunk=cfg.max_chunk,
+                            batch_size=max(1, cfg.batch_size // 4),
+                            compute_dtype=cfg.compute_dtype))
+        sr = mfcc_cfg.sample_rate
+        self._buckets = tuple(int(s * sr) for s in cfg.bucket_seconds)
+        # sample count beyond which the utterance exceeds max_chunk frames
+        self._long_samples = cfg.max_chunk * mfcc_cfg.frame_shift
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def extract_iter(self, stream: Iterable[Tuple[str, np.ndarray]]
+                     ) -> Iterator[Tuple[str, np.ndarray]]:
+        """Consume (utt, wave float32 int16-scale) pairs; yield
+        (utt, xvector).  Utterances with < min_chunk voiced frames are
+        skipped (the reference logs & skips, models.py:405-407)."""
+        buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+
+        def run_bucket(b: int):
+            items = buckets.pop(b, [])
+            if not items:
+                return
+            n = len(items)
+            waves = np.zeros((n, b), np.float32)
+            lens = np.zeros(n, np.int32)
+            for i, (_, w) in enumerate(items):
+                waves[i, : len(w)] = w
+                lens[i] = len(w)
+            if self._key is not None:
+                self._key, sub = jax.random.split(self._key)
+            else:
+                sub = None
+            xv, voiced = self._fn(self.params, self.state,
+                                  jnp.asarray(waves), jnp.asarray(lens),
+                                  sub)
+            xv, voiced = np.asarray(xv), np.asarray(voiced)
+            for i, (utt, _) in enumerate(items):
+                if voiced[i] >= self.cfg.min_chunk:
+                    yield utt, xv[i].astype(np.float32)
+
+        def long_path(utt, wave):
+            feats = np.asarray(F.mfcc(jnp.asarray(wave), self.mfcc_cfg,
+                                      key=None))
+            vad = np.asarray(F.energy_vad(jnp.asarray(feats),
+                                          self.vad_cfg))
+            feats = preprocess(feats, cmvn_window=self.cfg.cmvn_window,
+                               vad=vad)
+            yield from self._long.extract_iter([(utt, feats)])
+
+        for utt, wave in stream:
+            wave = np.asarray(wave, np.float32).reshape(-1)
+            if len(wave) > self._long_samples:
+                yield from long_path(utt, wave)
+                continue
+            b = self._bucket(len(wave))
+            buckets.setdefault(b, []).append((utt, wave))
+            if len(buckets[b]) >= self.cfg.batch_size:
+                yield from run_bucket(b)
+        for b in sorted(buckets):
+            yield from run_bucket(b)
+
+    def extract(self, stream) -> Dict[str, np.ndarray]:
+        return dict(self.extract_iter(stream))
+
+
+def read_wav_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Stream (utt, wave) pairs from a Kaldi wav.scp (plain paths,
+    ``path#chN`` channel specs — incl. embedded-shorten SPHERE via the
+    native decoder — or ``cmd |`` pipes)."""
+    from ..io import wav as wavlib
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) != 2:
+                continue
+            utt, spec = parts
+            samples, _rate = wavlib.load_wave(spec)
+            yield utt, samples
 
 
 def make_wave_to_xvector(model_cfg: tdnn.TdnnConfig,

@@ -22,7 +22,33 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_wave", "read_wav", "read_sphere"]
+__all__ = ["load_wave", "read_wav", "read_sphere", "resample"]
+
+
+def resample(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Band-limited polyphase resampling (Kaiser-windowed sinc).
+
+    Replaces the linear-interpolation shortcut, whose aliasing the
+    reference's sox/ffmpeg resample (``run.sh:135``,
+    ``make_mx6_mic_BUT.pl:38-74``) does not have — parity-grade for
+    16 kHz MUSAN/RIR assets feeding the 8 kHz recipe.  Falls back to
+    linear interpolation only if scipy is unavailable."""
+    samples = np.asarray(samples, np.float32)
+    if sr_in == sr_out or not sr_in or not sr_out:
+        return samples
+    try:
+        from scipy.signal import resample_poly
+        import math
+        g = math.gcd(int(sr_in), int(sr_out))
+        out = resample_poly(samples.astype(np.float64),
+                            sr_out // g, sr_in // g,
+                            window=("kaiser", 5.0))
+        return out.astype(np.float32)
+    except ImportError:
+        n_out = int(round(len(samples) * sr_out / sr_in))
+        return np.interp(
+            np.arange(n_out) * (len(samples) - 1) / max(n_out - 1, 1),
+            np.arange(len(samples)), samples).astype(np.float32)
 
 
 def load_wave(spec: str, channel: Optional[int] = None

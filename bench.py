@@ -89,6 +89,114 @@ def bench_train(jax, jnp):
     return audio_s / best, best * 1e3
 
 
+def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
+                        rounds: int = 3, blocks: int = 8):
+    """ms/minibatch of the block train step for one (topology, head)."""
+    from xvector_tpu.models import tdnn
+    from xvector_tpu.train.trainer import TrainConfig, make_block_train_step
+    import optax
+
+    block = 16
+    cfg = TrainConfig(model=model, num_targets=NUM_SPEAKERS,
+                      compute_dtype="bfloat16", block_size=block,
+                      head=head,
+                      fused_conv_bwd=(jax.default_backend() == "tpu"
+                                      and model == "no_dropout"))
+    model_cfg = tdnn.MODEL_ZOO[model]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg,
+                                     NUM_SPEAKERS)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    opt_state = opt.init(params)
+    step = make_block_train_step(model_cfg, cfg, opt)
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.randn(block, MINIBATCH, FRAMES, FEAT_DIM)
+                     .astype(np.float16))
+    ys = jnp.asarray(rng.randint(0, NUM_SPEAKERS, (block, MINIBATCH))
+                     .astype(np.int32))
+    args = (jnp.full((block,), FRAMES, jnp.int32),
+            jnp.full((block,), MINIBATCH, jnp.int32),
+            jnp.float32(1e-3), jnp.float32(1.0), jnp.float32(1.0),
+            jax.random.PRNGKey(1))
+    params, opt_state, state, m = step(params, opt_state, state, xs, ys,
+                                       *args)
+    np.asarray(m["loss"])
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(blocks):
+            params, opt_state, state, m = step(params, opt_state, state,
+                                               xs, ys, *args)
+        np.asarray(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / (blocks * block))
+    return best
+
+
+def bench_variants(jax, jnp):
+    """Per-topology/head train throughput (audio_s/s/chip) so a variant
+    regression is visible between rounds: E-TDNN (dilated), attention
+    pooling, AM-softmax head (VERDICT r1 weak #8)."""
+    audio_s = MINIBATCH * FRAMES * FRAME_SHIFT_S
+    out = {}
+    for name, model, head in (
+            ("etdnn", "etdnn", "softmax"),
+            ("attention", "l2_lrelu_attention", "softmax"),
+            ("am_softmax", "no_dropout", "am_softmax")):
+        out[f"train_{name}_audio_s_per_s"] = round(
+            audio_s / _measure_train_step(jax, jnp, model, head), 1)
+    return out
+
+
+def bench_features(jax, jnp):
+    """Batched featurization (mfcc_batch + energy_vad_batch) throughput
+    in audio-seconds/s — the corpus-scale make_features path."""
+    from xvector_tpu.ops import features as F
+    b, s = 16, 8 * 8000       # 16 × 8 s utterances
+    rng = np.random.RandomState(0)
+    waves = jnp.asarray((rng.randn(b, s) * 2000).astype(np.float32))
+    lens = jnp.full((b,), s, jnp.int32)
+    cfg = F.MfccConfig(dither=0.0)
+
+    @jax.jit
+    def run(w, n):
+        feats, mask = F.mfcc_batch(w, n, cfg)
+        vad = F.energy_vad_batch(feats, mask)
+        return feats[0, 0, 0] + vad[0, 0]
+
+    np.asarray(run(waves, lens))
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            out = run(waves, lens)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / 8)
+    return b * (s / 8000) / best
+
+
+def bench_extract_wave(jax, jnp):
+    """Wave→x-vector (the --from-wav one-dispatch pipeline):
+    embeddings/s over 8 s utterances, steady state."""
+    from xvector_tpu.extract.extractor import (WaveExtractor,
+                                               WaveExtractorConfig)
+    from xvector_tpu.models import tdnn
+    model_cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg, 512)
+    wex = WaveExtractor(model_cfg, params, state,
+                        WaveExtractorConfig(batch_size=32))
+    rng = np.random.RandomState(0)
+    n_utt, dur_s = 96, 8
+    utts = [(f"u{i}", (rng.randn(dur_s * 8000) * 2000).astype(np.float32))
+            for i in range(n_utt)]
+    _ = wex.extract(iter(utts))          # warmup (compiles one bucket)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = wex.extract(iter(utts))
+        best = min(best, time.perf_counter() - t0)
+    assert len(out) == n_utt
+    return n_utt / best, n_utt * dur_s / best
+
+
 def bench_extract(jax, jnp):
     """Batched extraction forward: N batches per dispatch (scan) AND
     several pipelined dispatches per host sync.  Each dispatch costs
@@ -133,6 +241,9 @@ def main():
     device = str(jax.devices()[0])
     train_tp, step_ms = bench_train(jax, jnp)
     extract_tp = bench_extract(jax, jnp)
+    variants = bench_variants(jax, jnp)
+    feat_tp = bench_features(jax, jnp)
+    wave_emb_s, wave_audio_s = bench_extract_wave(jax, jnp)
 
     if os.path.exists(BASELINE_FILE):
         baseline = json.load(open(BASELINE_FILE))["value"]
@@ -150,6 +261,10 @@ def main():
         "vs_baseline": round(train_tp / baseline, 3),
         "step_ms": round(step_ms, 2),
         "extract_embeddings_per_s": round(extract_tp, 1),
+        "extract_from_wav_embeddings_per_s": round(wave_emb_s, 1),
+        "extract_from_wav_audio_s_per_s": round(wave_audio_s, 1),
+        "features_audio_s_per_s": round(feat_tp, 1),
+        **variants,
         "device": device,
     }))
 

@@ -267,7 +267,9 @@ def test_make_features_batched_matches_single(tmp_path):
 
     rng = np.random.RandomState(0)
     lens = [8000, 4400, 16000, 7999, 12345, 6000, 9000]
-    waves = {f"u{i}": (rng.randn(n) * 2000).astype(np.float32)
+    # integer-valued like real decoded audio (the stage quantises to
+    # int16 for the upload, as a 16-bit wav write would)
+    waves = {f"u{i}": np.rint(rng.randn(n) * 2000).astype(np.float32)
              for i, n in enumerate(lens)}
     data = DataDir(utt2spk={u: "spk" for u in waves})
     recipe = Recipe(RecipeConfig(work_dir=str(tmp_path),

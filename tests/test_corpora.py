@@ -383,3 +383,25 @@ def test_load_wave_channel_suffix(tmp_path):
     p.write_bytes(header + inter.tobytes())
     s1, _ = W.load_wave(str(p) + "#ch1")
     np.testing.assert_array_equal(s1, b.astype(np.float32))
+
+
+def test_swbd_cellular_real_world_quirks(tmp_path):
+    """Delivery quirks the reference parser tolerates: rows for convs
+    whose audio is absent on disk are skipped (make_swbd_cellular1_BUT.pl
+    line 51's -e check), extra trailing columns are ignored, and the
+    two call sides map to channels 0/1 in conv order."""
+    root = tmp_path / "LDC2001S13"
+    (root / "doc").mkdir(parents=True)
+    (root / "data" / "audio").mkdir(parents=True)
+    # audio exists only for 40000
+    (root / "data" / "audio" / "sw_40000.sph").write_bytes(b"")
+    (root / "doc" / "swb_callstats.tbl").write_text(
+        "40000,1001,1002,M,F,extra,columns,ignored\n"
+        "40777,1005,1006,M,M\n"          # no audio on disk -> skipped
+        "40019,1003,1004,M,M\n")         # bad-audio list -> skipped
+    dd = C.make_swbd_cellular(str(root), version=1)
+    assert set(dd.utt2spk) == {"sw_1001-swbdc_sw_40000_1",
+                               "sw_1002-swbdc_sw_40000_2"}
+    assert dd.wav["sw_1001-swbdc_sw_40000_1"].endswith("sw_40000.sph#ch0")
+    assert dd.wav["sw_1002-swbdc_sw_40000_2"].endswith("sw_40000.sph#ch1")
+    assert dd.spk2gender == {"sw_1001": "m", "sw_1002": "f"}

@@ -64,8 +64,11 @@ def test_full_train_loop_checkpoints_and_metrics(tmp_path):
     work = tr.work_dir
     assert os.path.islink(os.path.join(work, "model_final"))
     kept = [it for it, _ in C.iteration_dirs(work)]
-    # GC: last two (3, 4) + preserve-interval multiples (2)
-    assert set(kept) == {2, 3, 4}
+    # GC: last two (3, 4) + preserve-interval multiples (0 — the initial
+    # model_0 saved for iteration-0 retry rollback — and 2); the
+    # reference's remove_model keeps iter % interval == 0 likewise
+    # (ze_utils.py:186-194)
+    assert set(kept) == {0, 2, 3, 4}
     lines = [json.loads(l) for l in
              open(os.path.join(work, "metrics.jsonl"))]
     kinds = {l["kind"] for l in lines}

@@ -194,11 +194,17 @@ class Recipe:
                     if not items:
                         return
                     # pad the batch dim too: ragged tails reuse the same
-                    # compiled program instead of compiling a new one
-                    waves = np.zeros((bsz, b), np.float32)
+                    # compiled program instead of compiling a new one.
+                    # int16 upload: audio is int16-scale and host→device
+                    # bandwidth is the front-end's binding constraint
+                    waves = np.zeros((bsz, b), np.int16)
                     lens = np.zeros(bsz, np.int32)
+                    # rint+clip = what writing a 16-bit wav would do (the
+                    # reference's augmented audio goes through exactly
+                    # that, via wav-reverberate's wav output)
                     for i, (_, w) in enumerate(items):
-                        waves[i, : len(w)] = w
+                        waves[i, : len(w)] = np.clip(np.rint(w),
+                                                     -32768, 32767)
                         lens[i] = len(w)
                     if key is not None:
                         key, sub = jax.random.split(key)

@@ -24,7 +24,7 @@ unchanged external PLDA back-end, or the native one in
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -298,29 +298,57 @@ class WaveExtractor:
         """Consume (utt, wave float32 int16-scale) pairs; yield
         (utt, xvector).  Utterances with < min_chunk voiced frames are
         skipped (the reference logs & skips, models.py:405-407)."""
+        import concurrent.futures as cf
+
         buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+        # Host→device bandwidth is the binding constraint of this path on
+        # tunnel-attached chips (device compute: ~6 ms for 32×8 s; f32
+        # upload of the same batch: ~150 ms).  Waves are int16-scale, so
+        # ship them as int16 (half the bytes; cast on device is free) and
+        # run uploads on a background thread so batch k+1's transfer
+        # overlaps batch k's compute.  Results are also left on device
+        # until 2 batches later to avoid per-batch sync round-trips.
+        uploader = cf.ThreadPoolExecutor(max_workers=1)
+        inflight: List[Tuple[List, Any, Any]] = []
+
+        def materialize(entry):
+            items, xv_dev, voiced_dev = entry
+            xv, voiced = np.asarray(xv_dev), np.asarray(voiced_dev)
+            for i, (utt, _) in enumerate(items):
+                if voiced[i] >= self.cfg.min_chunk:
+                    yield utt, xv[i].astype(np.float32)
+
+        def upload(items, b):
+            n = len(items)
+            waves = np.zeros((n, b), np.int16)
+            lens = np.zeros(n, np.int32)
+            for i, (_, w) in enumerate(items):
+                waves[i, : len(w)] = np.clip(w, -32768, 32767)
+                lens[i] = len(w)
+            return jnp.asarray(waves), jnp.asarray(lens)
+
+        upload_q: List[Tuple[List, Any]] = []   # (items, upload future)
+
+        def dispatch_oldest():
+            items, fut = upload_q.pop(0)
+            if self._key is not None:
+                self._key, sub = jax.random.split(self._key)
+            else:
+                sub = None
+            waves_d, lens_d = fut.result()
+            xv, voiced = self._fn(self.params, self.state, waves_d,
+                                  lens_d, sub)
+            inflight.append((items, xv, voiced))
+            while len(inflight) > 2:
+                yield from materialize(inflight.pop(0))
 
         def run_bucket(b: int):
             items = buckets.pop(b, [])
             if not items:
                 return
-            n = len(items)
-            waves = np.zeros((n, b), np.float32)
-            lens = np.zeros(n, np.int32)
-            for i, (_, w) in enumerate(items):
-                waves[i, : len(w)] = w
-                lens[i] = len(w)
-            if self._key is not None:
-                self._key, sub = jax.random.split(self._key)
-            else:
-                sub = None
-            xv, voiced = self._fn(self.params, self.state,
-                                  jnp.asarray(waves), jnp.asarray(lens),
-                                  sub)
-            xv, voiced = np.asarray(xv), np.asarray(voiced)
-            for i, (utt, _) in enumerate(items):
-                if voiced[i] >= self.cfg.min_chunk:
-                    yield utt, xv[i].astype(np.float32)
+            upload_q.append((items, uploader.submit(upload, items, b)))
+            while len(upload_q) > 1:      # overlap next upload w/ compute
+                yield from dispatch_oldest()
 
         def long_path(utt, wave):
             feats = np.asarray(F.mfcc(jnp.asarray(wave), self.mfcc_cfg,
@@ -342,6 +370,11 @@ class WaveExtractor:
                 yield from run_bucket(b)
         for b in sorted(buckets):
             yield from run_bucket(b)
+        while upload_q:
+            yield from dispatch_oldest()
+        while inflight:
+            yield from materialize(inflight.pop(0))
+        uploader.shutdown()
 
     def extract(self, stream) -> Dict[str, np.ndarray]:
         return dict(self.extract_iter(stream))

@@ -530,7 +530,8 @@ class Recipe:
                                  num_utts=num_utts)
         return {"eer": metricslib.eer(llr, labels),
                 "min_dcf": metricslib.min_dcf(llr, labels),
-                "num_trials": len(trials)}
+                "num_trials": len(trials),
+                "scores": llr}
 
     # -- stage 5b: the full SRE16 back-end protocol (run.sh:250-313) -------
     def score_sre16(self, train_xv: Dict[str, np.ndarray],

@@ -1,0 +1,257 @@
+"""SRE16 recipe driver — the 1:1 counterpart of the reference's
+``run.sh`` stages 0-10 (``/root/reference/run.sh:39-313``), composed from
+the framework's native pieces instead of Kaldi binaries and SGE jobs:
+
+  stage 0  corpus prep: typed builders for SWBD cellular 1-2, SWBD2
+           phases 1-3, SRE04-08/10, SRE16 major (unlabeled) and eval
+           enroll/test + trial key (run.sh:39-92, local/make_*_BUT.*)
+  stage 1  MFCC + energy VAD, batched on device (run.sh:94-111)
+  stage 2  MUSAN/RIR augmentation of the training set (run.sh:113-171)
+  stage 3  filtering: min frames / min utts per speaker (run.sh:173-187)
+  stage 4-6  egs generation + TDNN training (run.sh:189-223)
+  stage 7  x-vector extraction for train / major / enroll / test
+           (run.sh:225-248), enroll speaker means + num_utts
+  stage 8-10  the dual-scoring back-end: LDA + PLDA out-of-domain AND
+           adapted, pooled + per-language EER/minDCF (run.sh:250-313)
+
+Every corpus root is optional — whatever subset is given becomes the
+training pool (the reference requires all of them up front).  All stages
+are idempotent; ``--stage N`` forces recomputation from stage N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..data import corpora
+from ..io.datadir import DataDir
+from ..io.wav import load_wave
+from .run import Recipe, RecipeConfig, _LazyWaves
+
+
+def build_train_corpus(args) -> DataDir:
+    """Stage 0 training pool: the union of whatever corpora were given
+    (run.sh:60-66 combine_data)."""
+    parts = []
+    if args.swbd_cell1_root:
+        parts.append(corpora.make_swbd_cellular(args.swbd_cell1_root, 1))
+    if args.swbd_cell2_root:
+        parts.append(corpora.make_swbd_cellular(args.swbd_cell2_root, 2))
+    for phase, root in ((1, args.swbd2_phase1_root),
+                        (2, args.swbd2_phase2_root),
+                        (3, args.swbd2_phase3_root)):
+        if root:
+            parts.append(corpora.make_swbd2_phase(root, phase))
+    if args.sre_data_root and args.sre_speaker_list:
+        parts.append(corpora.make_sre_04_to_06(args.sre_data_root,
+                                               args.sre_speaker_list))
+    if args.sre08_train_root and args.sre08_test_root \
+            and args.sre08_key_root:
+        parts.append(corpora.make_sre08(args.sre08_key_root,
+                                        args.sre08_test_root,
+                                        args.sre08_train_root))
+    if args.sre10_root:
+        parts.append(corpora.make_sre10(args.sre10_root))
+    if args.train_data_dir:          # pre-built Kaldi data dir escape hatch
+        from ..io.datadir import load_data_dir
+        parts.append(load_data_dir(args.train_data_dir))
+    if not parts:
+        raise SystemExit("no training corpora given (pass --swbd-*/"
+                         "--sre-*/--train-data-dir roots)")
+    train = parts[0].combine(*parts[1:]) if len(parts) > 1 else parts[0]
+    return train.validate()
+
+
+def wav_provider_for(data: DataDir) -> Callable[[str], np.ndarray]:
+    def provider(utt: str) -> np.ndarray:
+        samples, _rate = load_wave(data.wav[utt])
+        return samples
+    return provider
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--stage", type=int, default=-1,
+                    help="force re-runs from this stage (run.sh gating); "
+                         "-1 = idempotent auto-skip")
+    # corpus roots (run.sh:44-92) — all optional, union becomes training
+    ap.add_argument("--swbd-cell1-root", default="")
+    ap.add_argument("--swbd-cell2-root", default="")
+    ap.add_argument("--swbd2-phase1-root", default="")
+    ap.add_argument("--swbd2-phase2-root", default="")
+    ap.add_argument("--swbd2-phase3-root", default="")
+    ap.add_argument("--sre-data-root", default="",
+                    help="root holding SRE04-06 deliveries")
+    ap.add_argument("--sre-speaker-list", default="")
+    ap.add_argument("--sre08-train-root", default="")
+    ap.add_argument("--sre08-test-root", default="")
+    ap.add_argument("--sre08-key-root", default="")
+    ap.add_argument("--sre10-root", default="")
+    ap.add_argument("--train-data-dir", default="",
+                    help="pre-built Kaldi data dir to add to the pool")
+    ap.add_argument("--sre16-major-root", default="",
+                    help="SRE16 unlabeled major-language root (the "
+                         "adaptation/centering set, run.sh:252)")
+    ap.add_argument("--sre16-eval-root", required=True)
+    ap.add_argument("--sre16-key-root", default="",
+                    help="sre16_evaluation_key root (defaults to the "
+                         "reference layout next to the eval root)")
+    ap.add_argument("--musan-dir", default="")
+    ap.add_argument("--rirs-dir", default="")
+    # model / training knobs (run_xvector.sh:50-108)
+    ap.add_argument("--model", default="no_dropout")
+    ap.add_argument("--num-epochs", type=int, default=2)
+    ap.add_argument("--num-archives", type=int, default=4)
+    ap.add_argument("--min-chunk", type=int, default=200)
+    ap.add_argument("--max-chunk", type=int, default=400)
+    ap.add_argument("--minibatch-size", type=int, default=64)
+    ap.add_argument("--num-repeats", type=int, default=35)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--lda-dim", type=int, default=100)   # run.sh:28
+    ap.add_argument("--extract-from-wav", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..data import allocator as alloclib
+    from ..train.trainer import TrainConfig
+    from ..extract.extractor import ExtractorConfig, speaker_means
+
+    print("== stage 0: corpus prep")
+    train_data = build_train_corpus(args)
+    eval_full = corpora.make_sre16_eval_full(
+        args.sre16_eval_root, key_root=args.sre16_key_root or None)
+    enroll_data: DataDir = eval_full["enroll"]
+    test_data: DataDir = eval_full["test"]
+    trials = eval_full["trials"]
+    utt2lang: Dict[str, str] = eval_full["utt2lang"]
+    major_data: Optional[DataDir] = (
+        corpora.make_sre16_unlabeled(args.sre16_major_root)
+        if args.sre16_major_root else None)
+    print(f"   train {len(train_data)} utts / "
+          f"{len(train_data.speakers)} spk; enroll {len(enroll_data)}; "
+          f"test {len(test_data)}; trials {len(trials)}; "
+          f"major {len(major_data) if major_data else 0}")
+
+    cfg = RecipeConfig(
+        work_dir=args.work_dir,
+        min_utt_frames=args.min_chunk,
+        num_valid_utts=max(2, min(200, len(train_data) // 10)),
+        num_archives=args.num_archives,
+        allocator=alloclib.AllocatorConfig(
+            min_frames=args.min_chunk, max_frames=args.max_chunk,
+            minibatch_size=args.minibatch_size,
+            num_repeats=args.num_repeats),
+        train=TrainConfig(model=args.model, num_targets=1,
+                          num_epochs=args.num_epochs,
+                          compute_dtype=args.compute_dtype),
+        extractor=ExtractorConfig(min_chunk=25, max_chunk=10000,
+                                  batch_size=16,
+                                  compute_dtype=args.compute_dtype),
+        lda_dim=args.lda_dim)
+    recipe = Recipe(cfg)
+    if args.stage >= 0:
+        print(f"== forcing re-run from stage {args.stage}")
+        recipe.force_from_stage(args.stage)
+
+    provider = wav_provider_for(train_data)
+    if args.musan_dir or args.rirs_dir:
+        print("== stage 2: augmentation")
+        sr = cfg.mfcc.sample_rate
+        rirs = noises = musics = speeches = None
+        if args.rirs_dir:
+            rooms = corpora.make_rirs(args.rirs_dir)
+            rirs = {room: _LazyWaves(paths, target_sr=sr)
+                    for room, paths in rooms.items() if paths} or None
+        if args.musan_dir:
+            musan = corpora.make_musan(args.musan_dir)
+
+            def lazy(cat):
+                dd = musan.get(cat)
+                return (_LazyWaves([dd.wav[u] for u in dd.utts],
+                                   target_sr=sr) if dd else None)
+
+            noises, musics, speeches = (lazy("noise"), lazy("music"),
+                                        lazy("speech"))
+        train_data, provider = recipe.augment(
+            train_data, provider, rirs=rirs, noises=noises, musics=musics,
+            speeches=speeches)
+
+    print(f"== stage 1: features (train: {len(train_data)} utts)")
+    train_feats = recipe.make_features(train_data, provider, split="train")
+    print("== stage 4-6: egs + train")
+    train_dir, _valid_dir, num_targets = recipe.make_egs(train_feats)
+    print(f"   {num_targets} speakers")
+    trainer = recipe.train(num_targets)
+
+    print("== stage 7: extraction")
+
+    def extract_split(data: DataDir, split: str) -> Dict[str, np.ndarray]:
+        prov = wav_provider_for(data)
+        if args.extract_from_wav:
+            return recipe.extract_from_wav(trainer, data, prov, split)
+        feats = recipe.make_features(data, prov, split=split)
+        return recipe.extract(trainer, feats, split=split)
+
+    train_xv = recipe.extract(trainer, train_feats, split="train")
+    # the PLDA training pool is the speaker-labeled training split (the
+    # held-out diagnostics utts have no row in train_dir)
+    train_xv = {u: v for u, v in train_xv.items()
+                if u in train_dir.utt2spk}
+    enroll_utt_xv = extract_split(enroll_data, "sre16_enroll")
+    test_xv = extract_split(test_data, "sre16_test")
+    major_xv = (extract_split(major_data, "sre16_major")
+                if major_data else None)
+    # enrollment models are per-SPEAKER means + counts (run.sh:285,
+    # extract_xvectors.sh:100-102 ivector-mean)
+    spk_enroll, num_utts = speaker_means(enroll_utt_xv,
+                                         enroll_data.utt2spk)
+
+    print("== stage 8-10: back-end (dual scoring)")
+    trials = [(m, s, l) for m, s, l in trials
+              if m in spk_enroll and s in test_xv]
+    if major_xv:
+        res = recipe.score_sre16(
+            train_xv, train_dir, major_xv, spk_enroll, test_xv, trials,
+            num_utts=num_utts, utt2cond=utt2lang or None,
+            lda_dim=args.lda_dim)
+    else:
+        # no in-domain majors: fall back to single out-of-domain scoring
+        pooled = recipe.score(train_xv, train_dir, spk_enroll, test_xv,
+                              trials, num_utts=num_utts)
+        res = {"out_of_domain": pooled}
+
+    out_path = os.path.join(args.work_dir, "sre16_results.json")
+    printable = {}
+    for variant, r in res.items():
+        entry = {"eer": r["eer"], "min_dcf": r["min_dcf"],
+                 "num_trials": r["num_trials"]}
+        if "per_condition" in r:
+            entry["per_condition"] = {
+                c: {k: v for k, v in m.items()}
+                for c, m in r["per_condition"].items()}
+        printable[variant] = entry
+        langs = "".join(
+            f", {c} {m['eer']*100:.2f}%"
+            for c, m in r.get("per_condition", {}).items())
+        # run.sh:294/:312 echo format
+        print(f"   {variant}: EER {r['eer']*100:.2f}%"
+              f" minDCF {r['min_dcf']:.3f}{langs}")
+        # per-trial scores in Kaldi score-file format for the NIST
+        # converter (utils/scores.kaldi_scores_to_nist_tsv)
+        spath = os.path.join(args.work_dir, f"scores_{variant}.txt")
+        with open(spath, "w") as f:
+            for (m, s, _), llr in zip(trials, r["scores"]):
+                f.write(f"{m} {s} {llr}\n")
+    with open(out_path, "w") as f:
+        json.dump(printable, f, indent=1)
+    print(f"   results -> {out_path}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,61 @@ def make_sre16_eval(root: str) -> Tuple[DataDir, DataDir]:
     return make_from_table(enroll_rows), make_from_table(test_rows)
 
 
+def make_sre16_eval_full(root: str, key_root: Optional[str] = None
+                         ) -> Dict[str, object]:
+    """SRE16 eval with the evaluation-key artifacts the reference's
+    builder also emits (make_sre16_eval_BUT.pl:80-140): pooled ``trials``
+    [(model, segment, 0/1)], per-language ``trials_tgl``/``trials_yue``,
+    and ``utt2lang`` (segment → tgl/yue via segment→call→language).
+
+    ``key_root`` defaults to the reference's layout
+    ``<root>/../download/sre16_evaluation_key``; pass None-existing paths
+    and the trial fields come back empty (audio-only use)."""
+    enroll, test = make_sre16_eval(root)
+    out: Dict[str, object] = {"enroll": enroll, "test": test,
+                              "trials": [], "trials_by_lang": {},
+                              "utt2lang": {}}
+    key_root = key_root or os.path.join(root, "..", "download",
+                                        "sre16_evaluation_key")
+    trial_key = os.path.join(key_root, "docs", "sre16_eval_trial_key.tsv")
+    seg_key = os.path.join(key_root, "docs", "sre16_eval_segment_key.tsv")
+    calls = os.path.join(key_root, "metadata", "calls.tsv")
+    if not os.path.exists(trial_key):
+        return out
+    utt2call = {}
+    if os.path.exists(seg_key):
+        with open(seg_key) as f:
+            for line in f:
+                toks = line.split()
+                if len(toks) >= 2 and toks[0] != "segment":
+                    utt2call[toks[0]] = toks[1]
+    call2lang = {}
+    if os.path.exists(calls):
+        with open(calls) as f:
+            for line in f:
+                toks = line.split()
+                if len(toks) >= 2:
+                    call2lang[toks[0]] = toks[1]
+    trials: List[Tuple[str, str, int]] = []
+    by_lang: Dict[str, List[Tuple[str, str, int]]] = {}
+    utt2lang: Dict[str, str] = {}
+    with open(trial_key) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < 4 or toks[1] == "segment" \
+                    or toks[0] == "modelid":
+                continue
+            model, seg, target = toks[0], toks[1], toks[3]
+            label = 1 if target == "target" else 0
+            trials.append((model, seg, label))
+            lang = call2lang.get(utt2call.get(seg, ""), "")
+            if lang:
+                utt2lang[seg] = lang
+                by_lang.setdefault(lang, []).append((model, seg, label))
+    out.update(trials=trials, trials_by_lang=by_lang, utt2lang=utt2lang)
+    return out
+
+
 def make_sre16_unlabeled(root: str) -> DataDir:
     """SRE16 major-language unlabeled set: every segment its own speaker
     (local/make_sre16_unlabeled.pl semantics)."""

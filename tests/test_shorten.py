@@ -144,3 +144,45 @@ def test_sphere_sample_count_bounds_padded_stream(tmp_path):
     s, _ = W.load_wave(str(p))
     assert len(s) == 700
     np.testing.assert_array_equal(s.astype(np.int64), x[:, 0])
+
+
+def test_fuzz_truncated_and_mutated_streams_never_crash():
+    """Robustness on untrusted input: truncations and random byte flips
+    of valid streams must raise cleanly (Python) / return an error or
+    bounded output (native) — never hang, crash, or scribble memory."""
+    rng = np.random.default_rng(42)
+    x = _ar_signal(rng, 2000, 2)
+    stream = bytearray(enc.encode(x, blocksize=256, nmean=4))
+    cases = []
+    for cut in (5, 6, 20, len(stream) // 2, len(stream) - 3):
+        cases.append(bytes(stream[:cut]))
+    for _ in range(40):
+        mut = bytearray(stream)
+        for _ in range(rng.integers(1, 8)):
+            mut[rng.integers(5, len(mut))] = rng.integers(0, 256)
+        cases.append(bytes(mut))
+    for _ in range(10):
+        cases.append(b"ajkg\x02" + rng.bytes(rng.integers(4, 200)))
+    for payload in cases:
+        try:
+            out, _, _ = dec.decode(payload, max_samples=4000)
+            assert out.shape[0] <= 4000
+        except (ValueError, EOFError, OverflowError, MemoryError):
+            pass
+        if native.shorten_supported():
+            try:
+                out = native.shorten_decode(payload, 4000)
+                assert out.shape[0] <= 4000
+            except ValueError:
+                pass
+
+
+def test_fuzz_random_garbage_rejected():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        blob = rng.bytes(rng.integers(0, 64))
+        with pytest.raises((ValueError, EOFError)):
+            dec.decode(blob)
+        if native.shorten_supported():
+            with pytest.raises((ValueError,)):
+                native.shorten_decode(blob, 100)

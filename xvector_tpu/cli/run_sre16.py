@@ -244,9 +244,15 @@ def main(argv=None):
         # per-trial scores in Kaldi score-file format for the NIST
         # converter (utils/scores.kaldi_scores_to_nist_tsv)
         spath = os.path.join(args.work_dir, f"scores_{variant}.txt")
+        score_lines = [f"{m} {s} {llr}"
+                       for (m, s, _), llr in zip(trials, r["scores"])]
         with open(spath, "w") as f:
-            for (m, s, _), llr in zip(trials, r["scores"]):
-                f.write(f"{m} {s} {llr}\n")
+            f.write("\n".join(score_lines) + "\n")
+        # NIST submission tsv (the reference's convert_kaldi_score_file.py)
+        from ..utils.scores import kaldi_scores_to_nist_tsv
+        with open(os.path.join(args.work_dir,
+                               f"scores_{variant}.tsv"), "w") as f:
+            f.write("\n".join(kaldi_scores_to_nist_tsv(score_lines)) + "\n")
     with open(out_path, "w") as f:
         json.dump(printable, f, indent=1)
     print(f"   results -> {out_path}")

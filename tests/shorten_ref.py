@@ -92,19 +92,25 @@ def encode(samples: np.ndarray, ftype: int = TYPE_S16HL,
            blocksize: int = 256, nmean: int = 0,
            verbatim_head: Optional[bytes] = None,
            force_cmd: Optional[int] = None,
-           qlpc_coeffs: Optional[Sequence[int]] = None) -> bytes:
+           qlpc_coeffs: Optional[Sequence[int]] = None,
+           declare_maxnlpc: Optional[int] = None) -> bytes:
     """Encode (n, nchan) int samples as a shorten v2 stream.
 
     force_cmd pins every block to one predictor (e.g. FN_DIFF2) so tests
     can exercise each decoder path; qlpc_coeffs (quantised, /32) selects
-    FN_QLPC with those coefficients.
+    FN_QLPC with those coefficients.  declare_maxnlpc overrides the
+    header's maxnlpc field (possibly below the actual LPC order, within
+    the NWRAP history real encoders rely on) for adversarial tests.
     """
     samples = np.asarray(samples, np.int64)
     if samples.ndim == 1:
         samples = samples[:, None]
     n, nchan = samples.shape
     maxnlpc = len(qlpc_coeffs) if qlpc_coeffs else 0
-    nwrap = max(NWRAP, maxnlpc)
+    if declare_maxnlpc is not None:
+        maxnlpc = declare_maxnlpc
+    nwrap = max(NWRAP, maxnlpc,
+                len(qlpc_coeffs) if qlpc_coeffs else 0)
 
     bw = BitWriter()
     for v in (ftype, nchan, blocksize, maxnlpc, nmean, 0):

@@ -186,3 +186,62 @@ def test_fuzz_random_garbage_rejected():
         if native.shorten_supported():
             with pytest.raises((ValueError,)):
                 native.shorten_decode(blob, 100)
+
+
+def test_qlpc_order_above_declared_maxnlpc():
+    """A stream may declare maxnlpc smaller than a block's actual LPC
+    order (still within the NWRAP=3 history floor).  Both decoders must
+    handle it without memory corruption and agree bit-exactly — the C++
+    port used to size its coefficient buffer from the header's maxnlpc
+    and write past it."""
+    rng = np.random.default_rng(11)
+    x = _ar_signal(rng, 1500, 1)
+    stream = enc.encode(x, blocksize=128, nmean=4,
+                        qlpc_coeffs=[40, -20, 8], declare_maxnlpc=2)
+    y, _, _ = dec.decode(stream)
+    np.testing.assert_array_equal(y[:, 0], x[:, 0])
+    if native.shorten_supported():
+        nat = native.shorten_decode(bytes(stream), len(x))
+        np.testing.assert_array_equal(nat[:, 0], x[:, 0].astype(np.int32))
+
+
+@pytest.mark.skipif(not native.shorten_supported(),
+                    reason="libxta shorten unavailable")
+def test_native_unknown_length_grows_past_initial_capacity():
+    """sample_count=None: FN_ZERO blocks compress far below 1 bit/sample,
+    so the native wrapper must grow its buffer and redecode instead of
+    silently truncating (the Python reference is the oracle)."""
+    z = np.zeros(400_000, np.int64)      # ~3 bits per 256-sample block
+    stream = enc.encode(z, blocksize=256, nmean=0)
+    assert len(stream) * 8 < len(z)      # the old bound WOULD truncate
+    out = native.shorten_decode(bytes(stream), None)
+    assert out.shape[0] == len(z)
+    assert not out.any()
+
+
+def test_read_wav_scp_resamples_to_target(tmp_path):
+    """wav.scp entries at a different stored rate are resampled to the
+    front-end's rate instead of being silently misinterpreted."""
+    import struct
+    from xvector_tpu.extract.extractor import read_wav_scp
+
+    sr_in = 16000
+    t = np.arange(sr_in) / sr_in
+    tone = (8000 * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+    data = tone.tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr_in,
+                                   sr_in * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    (tmp_path / "a16k.wav").write_bytes(wav)
+    (tmp_path / "wav.scp").write_text(f"u0 {tmp_path}/a16k.wav\n")
+    utt, samples = next(read_wav_scp(str(tmp_path / "wav.scp"),
+                                     target_sr=8000))
+    assert utt == "u0"
+    assert abs(len(samples) - 8000) <= 1
+    # 440 Hz tone must survive at the new rate
+    t8 = np.arange(len(samples)) / 8000
+    ref = np.sin(2 * np.pi * 440 * t8)
+    core = slice(300, -300)
+    corr = np.corrcoef(samples[core], ref[core])[0, 1]
+    assert abs(corr) > 0.99

@@ -57,6 +57,8 @@ def build_train_corpus(args) -> DataDir:
                                         args.sre08_train_root))
     if args.sre10_root:
         parts.append(corpora.make_sre10(args.sre10_root))
+    if args.mx6_root:
+        parts.append(corpora.make_mx6(args.mx6_root)["all"])
     if args.train_data_dir:          # pre-built Kaldi data dir escape hatch
         from ..io.datadir import load_data_dir
         parts.append(load_data_dir(args.train_data_dir))
@@ -93,6 +95,8 @@ def main(argv=None):
     ap.add_argument("--sre08-test-root", default="")
     ap.add_argument("--sre08-key-root", default="")
     ap.add_argument("--sre10-root", default="")
+    ap.add_argument("--mx6-root", default="",
+                    help="Mixer-6 root (mic subset + calls, run.sh:56-58)")
     ap.add_argument("--train-data-dir", default="",
                     help="pre-built Kaldi data dir to add to the pool")
     ap.add_argument("--sre16-major-root", default="",
@@ -214,6 +218,13 @@ def main(argv=None):
     print("== stage 8-10: back-end (dual scoring)")
     trials = [(m, s, l) for m, s, l in trials
               if m in spk_enroll and s in test_xv]
+    if not trials:
+        # audio-only use (no evaluation key) or nothing survived the
+        # model/segment filter: extraction artifacts are on disk, so
+        # report and stop instead of crashing inside the scorer
+        print("   no scorable trials (missing evaluation key or no "
+              "model/segment overlap); skipping scoring")
+        return {}
     if major_xv:
         res = recipe.score_sre16(
             train_xv, train_dir, major_xv, spk_enroll, test_xv, trials,

@@ -319,11 +319,16 @@ class WaveExtractor:
                     yield utt, xv[i].astype(np.float32)
 
         def upload(items, b):
-            n = len(items)
+            # pad the batch dim to batch_size so ragged tails reuse the
+            # same compiled program (one compile per bucket, not per
+            # (tail, bucket) pair); padded rows have n_samples=0 and are
+            # dropped by the voiced-count filter.  rint+clip = what a
+            # 16-bit wav write does, matching the feature-ark path.
+            n = max(len(items), self.cfg.batch_size)
             waves = np.zeros((n, b), np.int16)
             lens = np.zeros(n, np.int32)
             for i, (_, w) in enumerate(items):
-                waves[i, : len(w)] = np.clip(w, -32768, 32767)
+                waves[i, : len(w)] = np.clip(np.rint(w), -32768, 32767)
                 lens[i] = len(w)
             return jnp.asarray(waves), jnp.asarray(lens)
 
@@ -351,8 +356,12 @@ class WaveExtractor:
                 yield from dispatch_oldest()
 
         def long_path(utt, wave):
+            if self._key is not None:
+                self._key, sub = jax.random.split(self._key)
+            else:
+                sub = None
             feats = np.asarray(F.mfcc(jnp.asarray(wave), self.mfcc_cfg,
-                                      key=None))
+                                      key=sub))
             vad = np.asarray(F.energy_vad(jnp.asarray(feats),
                                           self.vad_cfg))
             feats = preprocess(feats, cmvn_window=self.cfg.cmvn_window,
@@ -380,10 +389,15 @@ class WaveExtractor:
         return dict(self.extract_iter(stream))
 
 
-def read_wav_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+def read_wav_scp(path: str, target_sr: Optional[int] = 8000
+                 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Stream (utt, wave) pairs from a Kaldi wav.scp (plain paths,
     ``path#chN`` channel specs — incl. embedded-shorten SPHERE via the
-    native decoder — or ``cmd |`` pipes)."""
+    native decoder — or ``cmd |`` pipes).
+
+    ``target_sr``: entries at a different stored rate are resampled
+    (band-limited polyphase) so the feature front-end's configured rate
+    is always honoured; pass None to forward samples as stored."""
     from ..io import wav as wavlib
     with open(path) as f:
         for line in f:
@@ -391,7 +405,9 @@ def read_wav_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
             if len(parts) != 2:
                 continue
             utt, spec = parts
-            samples, _rate = wavlib.load_wave(spec)
+            samples, rate = wavlib.load_wave(spec)
+            if target_sr and rate and rate != target_sr:
+                samples = wavlib.resample(samples, rate, target_sr)
             yield utt, samples
 
 

@@ -452,13 +452,18 @@ def read_vec_flt_matrix(rxspec, dim_hint: int = 512):
     if native_ok and pipe_cmd is not None:
         proc = subprocess.Popen(pipe_cmd, shell=True,
                                 stdout=subprocess.PIPE)
+        ok = False
         try:
             keys, mat = native.read_vec_matrix(proc.stdout.fileno(),
                                                dim_hint)
+            ok = True
         finally:
             proc.stdout.close()
             rc = proc.wait()
-            if rc != 0:
+            # only surface the pipe's status when the decode succeeded:
+            # a decode error closing the pipe early SIGPIPEs the
+            # producer, and raising here would mask the real exception
+            if ok and rc != 0:
                 raise IOError(f"pipe subprocess exited with {rc}")
         return keys, mat
     if native_ok and path is not None:

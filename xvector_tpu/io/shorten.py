@@ -172,6 +172,12 @@ def decode(data: bytes, max_samples: Optional[int] = None
         raise ValueError(f"implausible shorten channel count {nchan}")
     if ftype not in _SUPPORTED_TYPES:
         raise ValueError(f"unsupported shorten file type {ftype}")
+    # same sanity caps as the C++ port: corrupt headers must fail
+    # cleanly, not attempt multi-TB allocations
+    if not (1 <= blocksize <= (1 << 20)):
+        raise ValueError(f"implausible shorten blocksize {blocksize}")
+    if not (0 <= maxnlpc <= 1024):
+        raise ValueError(f"implausible shorten maxnlpc {maxnlpc}")
     lpcqoffset = (1 << LPCQUANT) if version >= 2 else 0
     type_mean = {TYPE_U8: 0x80, TYPE_U16HL: 0x8000, TYPE_U16LH: 0x8000
                  }.get(ftype, 0)
@@ -192,8 +198,8 @@ def decode(data: bytes, max_samples: Optional[int] = None
             break
         if cmd == FN_BLOCKSIZE:
             blocksize = uint_get(DEFAULT_BLOCK_SIZE.bit_length() - 1)
-            if blocksize <= 0:
-                raise ValueError("shorten blocksize <= 0")
+            if not (1 <= blocksize <= (1 << 20)):
+                raise ValueError(f"bad shorten blocksize {blocksize}")
             continue
         if cmd == FN_BITSHIFT:
             bitshift = br.uvar(BITSHIFTSIZE)

@@ -157,17 +157,26 @@ def shorten_decode(payload: bytes, sample_count: Optional[int] = None
     if rc:
         raise ValueError(f"shorten probe failed ({rc})")
     if sample_count is None:
-        # worst-case lossless expansion bound: >= 1 bit per sample
+        # initial guess: >= 1 bit per sample; FN_ZERO blocks can beat
+        # that arbitrarily, so grow and redecode until the stream ends
+        # before the buffer does (rows < cap <=> hit QUIT/EOF)
         cap = max(1024, 8 * len(payload) // nchan.value + 512)
     else:
         cap = sample_count
-    out = np.empty((cap, nchan.value), np.int32)
-    rows = lib.xta_shorten_decode(
-        payload, len(payload),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
-    if rows < 0:
-        raise ValueError(f"shorten decode failed ({rows})")
-    return out[:rows if sample_count is None else min(rows, sample_count)]
+    while True:
+        out = np.empty((cap, nchan.value), np.int32)
+        rows = lib.xta_shorten_decode(
+            payload, len(payload),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if rows < 0:
+            raise ValueError(f"shorten decode failed ({rows})")
+        if sample_count is not None:
+            return out[:min(rows, sample_count)]
+        if rows < cap:
+            return out[:rows]
+        if cap >= (1 << 31):
+            raise ValueError("shorten stream exceeds 2^31 samples")
+        cap *= 4
 
 
 class ArkStream:

@@ -569,7 +569,10 @@ int64_t xta_shorten_decode(const char* data, int64_t len, int32_t* out,
       nchan, std::vector<int64_t>(nwrap + blocksize, 0));
   std::vector<std::vector<int64_t>> offset(
       nchan, std::vector<int64_t>(nmean_w, type_mean));
-  std::vector<int64_t> qlpc(h.maxnlpc > 0 ? h.maxnlpc : kNWrap);
+  // sized to nwrap, NOT maxnlpc: FN_QLPC's own nlpc is only validated
+  // against nwrap below, and a crafted stream may declare maxnlpc=0 yet
+  // emit nlpc=3 (heap overflow otherwise)
+  std::vector<int64_t> qlpc(nwrap);
   std::vector<int64_t> written(nchan, 0);  // rows emitted per channel
   int bitshift = 0;
   int chan = 0;

@@ -374,3 +374,40 @@ def test_extract_cli_from_wav(tmp_path):
     assert set(xv) == {"utt_a", "utt_b"}
     assert all(np.isfinite(v).all() and v.shape == (64,)
                for v in xv.values())
+
+
+def test_extract_cli_from_reference_h5(tmp_path):
+    """--reference-h5: extraction from a reference-trainer h5 export, no
+    checkpoint dir needed (trained TF1 models migrate directly)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    from test_utils import _write_reference_h5
+    from xvector_tpu.models import tdnn
+
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(4), cfg, NUM_SPK)
+    h5 = str(tmp_path / "model.h5")
+    _write_reference_h5(h5, params, state, cfg)
+
+    rng = np.random.RandomState(5)
+    feats_ark = str(tmp_path / "f.ark")
+    with kio.ArkWriter(feats_ark, feats_ark + ".scp") as w:
+        for i in range(3):
+            w.write(f"u{i}", rng.randn(90, 23).astype(np.float32))
+    out_ark = str(tmp_path / "xvh5.ark")
+    extract_embedding.main([
+        f"--reference-h5={h5}", "--model=tiny",
+        f"--num-targets={NUM_SPK}",
+        f"--feats-rspecifier=ark:{feats_ark}",
+        f"--output-ark={out_ark}", "--compute-dtype=float32",
+    ])
+    xv = dict(kio.read_vec_flt_scp(out_ark.replace(".ark", ".scp")))
+    assert len(xv) == 3
+    # must equal direct library extraction with the same imported weights
+    import jax.numpy as jnp
+    ref = np.asarray(tdnn.extract_xvector(
+        cfg, params, state,
+        np.asarray(next(iter(kio.read_mat_ark(feats_ark)))[1])[None],
+        compute_dtype=jnp.float32))[0]
+    np.testing.assert_allclose(xv["u0"], ref, rtol=1e-4, atol=1e-4)

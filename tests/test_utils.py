@@ -99,3 +99,104 @@ def test_flip_gradient():
     np.testing.assert_allclose(
         np.asarray(flip_gradient(jnp.asarray([1.0, -2.0]), 2.0)),
         [1.0, -2.0])
+
+
+def _write_reference_h5(path, params, state, cfg):
+    """Inverse of the reference's get_models_weights naming: serialise
+    OUR pytrees under the TF1 variable names (models.py:55-101)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        def w(name, arr):
+            f.create_dataset(name + ":0", data=np.asarray(arr, np.float32))
+
+        for i, layer in enumerate(params["frame"]):
+            s = f"frame_level_info_layer-{i}"
+            w(f"{s}/w", layer["w"]); w(f"{s}/b", layer["b"])
+            w(f"{s}/gamma", layer["bn"]["gamma"])
+            w(f"{s}/beta", layer["bn"]["beta"])
+            w(f"{s}/mean", state["frame"][i]["mean"])
+            w(f"{s}/variance", state["frame"][i]["var"])
+            if "alpha" in layer:
+                w(f"{s}/prelu/prelu", layer["alpha"])
+        for i, layer in enumerate(params["embed"]):
+            s = f"embed_layer-{i}"
+            w(f"{s}/w", layer["w"]); w(f"{s}/b", layer["b"])
+            w(f"{s}/gamma", layer["bn"]["gamma"])
+            w(f"{s}/beta", layer["bn"]["beta"])
+            w(f"{s}/mean", state["embed"][i]["mean"])
+            w(f"{s}/variance", state["embed"][i]["var"])
+            if "alpha" in layer:
+                w(f"{s}/prelu/prelu", layer["alpha"])
+        w("output/w", params["output"]["w"])
+        w("output/b", params["output"]["b"])
+
+
+def test_import_reference_h5_round_trip(tmp_path):
+    """A reference-exported model.h5 (TF1 scope names) must land in our
+    pytrees exactly, preserving the eval forward pass — trained reference
+    models migrate without retraining."""
+    import jax
+    import jax.numpy as jnp
+
+    from xvector_tpu.models import tdnn
+    from xvector_tpu.utils.export import import_reference_h5
+
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(3), cfg, 11)
+    p = str(tmp_path / "model.h5")
+    _write_reference_h5(p, params, state, cfg)
+
+    got_p, got_s = import_reference_h5(p, cfg, 11)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(got_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = np.random.RandomState(0).randn(2, 50, cfg.feat_dim) \
+        .astype(np.float32)
+    ref = tdnn.extract_xvector(cfg, params, state, x,
+                               compute_dtype=jnp.float32)
+    got = tdnn.extract_xvector(cfg, got_p, got_s, x,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_import_reference_h5_prelu_and_missing_bn_stats(tmp_path):
+    import h5py
+    import jax
+
+    from xvector_tpu.models import tdnn
+    from xvector_tpu.utils.export import import_reference_h5
+
+    cfg = tdnn.MODEL_ZOO["prelu"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(1), cfg, 5)
+    p = str(tmp_path / "model.h5")
+    _write_reference_h5(p, params, state, cfg)
+    # drop population stats (the reference export writes them
+    # best-effort, models.py:203-208 try/except)
+    with h5py.File(p, "a") as f:
+        del f["frame_level_info_layer-0/mean:0"]
+        del f["frame_level_info_layer-0/variance:0"]
+    got_p, got_s = import_reference_h5(p, cfg, 5)
+    np.testing.assert_array_equal(
+        np.asarray(got_s["frame"][0]["mean"]),
+        np.zeros_like(np.asarray(state["frame"][0]["mean"])))
+    np.testing.assert_array_equal(
+        np.asarray(got_p["frame"][1]["alpha"]),
+        np.asarray(params["frame"][1]["alpha"]))
+
+
+def test_import_reference_h5_shape_mismatch_raises(tmp_path):
+    import jax
+    import pytest as _pytest
+
+    from xvector_tpu.models import tdnn
+    from xvector_tpu.utils.export import import_reference_h5
+
+    cfg = tdnn.MODEL_ZOO["tiny"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(1), cfg, 5)
+    p = str(tmp_path / "model.h5")
+    _write_reference_h5(p, params, state, cfg)
+    with _pytest.raises(ValueError, match="preset"):
+        import_reference_h5(p, tdnn.MODEL_ZOO["no_dropout"], 5)

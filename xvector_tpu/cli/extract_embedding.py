@@ -23,8 +23,12 @@ from ..train.trainer import TrainConfig, Trainer
 
 def get_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model-dir", required=True,
+    p.add_argument("--model-dir", default="",
                    help="trainer work dir (uses model_final)")
+    p.add_argument("--reference-h5", default="",
+                   help="instead of --model-dir: a model.h5 exported by "
+                        "the REFERENCE trainer (models.py:180-214) — "
+                        "trained TF1 models migrate without retraining")
     p.add_argument("--model", default="ModelWithoutDropout")
     p.add_argument("--num-targets", type=int, required=True)
     p.add_argument("--feats-rspecifier", default="",
@@ -69,18 +73,31 @@ def main(argv=None):
         print(f"{scp} already complete; skipping (idempotent restart)")
         return
 
+    if bool(args.model_dir) == bool(args.reference_h5):
+        sys.exit("pass exactly one of --model-dir/--reference-h5")
     preset = tdnn.REFERENCE_CLASS_TO_PRESET.get(args.model, args.model)
-    cfg = TrainConfig(model=preset, num_targets=args.num_targets,
-                      compute_dtype="bfloat16")
-    trainer = Trainer(cfg, args.model_dir, feat_dim=args.feat_dim)
-    final = os.path.join(args.model_dir, "model_final")
-    target = final if os.path.exists(final) else None
-    if target is None:
-        it = checkpoints.restore_latest(trainer)
-        if it == 0:
-            sys.exit(f"no checkpoint under {args.model_dir}")
+    if args.reference_h5:
+        import tempfile
+
+        from ..utils.export import import_reference_h5
+        cfg = TrainConfig(model=preset, num_targets=args.num_targets,
+                          compute_dtype="bfloat16")
+        trainer = Trainer(cfg, tempfile.mkdtemp(prefix="xv_ref_h5_"),
+                          feat_dim=args.feat_dim)
+        trainer.params, trainer.state = import_reference_h5(
+            args.reference_h5, trainer.model_cfg, args.num_targets)
     else:
-        checkpoints.restore_into(trainer, os.path.realpath(final))
+        cfg = TrainConfig(model=preset, num_targets=args.num_targets,
+                          compute_dtype="bfloat16")
+        trainer = Trainer(cfg, args.model_dir, feat_dim=args.feat_dim)
+        final = os.path.join(args.model_dir, "model_final")
+        target = final if os.path.exists(final) else None
+        if target is None:
+            it = checkpoints.restore_latest(trainer)
+            if it == 0:
+                sys.exit(f"no checkpoint under {args.model_dir}")
+        else:
+            checkpoints.restore_into(trainer, os.path.realpath(final))
 
     if bool(args.feats_rspecifier) == bool(args.wav_rspecifier):
         sys.exit("pass exactly one of --feats-rspecifier/--wav-rspecifier")

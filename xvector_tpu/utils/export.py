@@ -13,7 +13,7 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["export_h5", "import_h5"]
+__all__ = ["export_h5", "import_h5", "import_reference_h5"]
 
 
 def _walk(tree: Any, prefix: str = ""):
@@ -53,4 +53,84 @@ def import_h5(path: str, like_params: Any, like_state: Any = None):
         params = fill(like_params, "/params", f)
         state = (fill(like_state, "/state", f)
                  if like_state is not None else None)
+    return params, state
+
+
+def import_reference_h5(path: str, cfg, num_classes: int):
+    """Import a model.h5 exported by the REFERENCE trainer
+    (``models.py:180-214`` ``get_models_weights``) into this framework's
+    (params, state) pytrees — a trained TF1 x-vector model migrates
+    without retraining.
+
+    Reference naming (TF1 variable scopes, ``models.py:55-101``,
+    ``tf_block.py:9-28``):
+
+      frame_level_info_layer-{i}/{w,b,gamma,beta,mean,variance}:0
+      embed_layer-{i}/{w,b,gamma,beta,mean,variance}:0
+      output/{w,b}:0
+      (PReLU variants: frame_level_info_layer-{i}/prelu/prelu:0)
+
+    Conv kernels are (k, in, out) and affines (in, out) in both
+    frameworks, so arrays transfer without transposition.  Missing BN
+    population stats (the export writes them best-effort) fall back to
+    the 0/1 init.  Returns (params, state) matching
+    ``tdnn.init_params(cfg, num_classes)`` shapes, validated.
+    """
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import tdnn
+
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), cfg,
+                                     num_classes)
+    with h5py.File(path, "r") as f:
+        names = {}
+        f.visititems(lambda n, obj: names.update(
+            {n: np.asarray(obj)}) if hasattr(obj, "shape") else None)
+
+    def get(name, default=None):
+        for cand in (name, name + ":0", "/" + name, "/" + name + ":0"):
+            if cand in names:
+                return names[cand]
+        if default is not None:
+            return default
+        raise KeyError(f"reference h5 missing {name!r}; has e.g. "
+                       f"{sorted(names)[:5]}")
+
+    def put(dst, key, arr):
+        want = np.asarray(dst[key]).shape
+        arr = np.asarray(arr, np.float32)
+        if arr.shape != want:
+            raise ValueError(
+                f"shape mismatch for {key}: h5 {arr.shape} vs model "
+                f"{want} — wrong --model preset for this h5?")
+        dst[key] = jnp.asarray(arr)
+
+    for i in range(len(cfg.channels)):
+        scope = f"frame_level_info_layer-{i}"
+        layer = params["frame"][i]
+        put(layer, "w", get(f"{scope}/w"))
+        put(layer, "b", get(f"{scope}/b"))
+        put(layer["bn"], "gamma", get(f"{scope}/gamma"))
+        put(layer["bn"], "beta", get(f"{scope}/beta"))
+        st = state["frame"][i]
+        put(st, "mean", get(f"{scope}/mean", np.asarray(st["mean"])))
+        put(st, "var", get(f"{scope}/variance", np.asarray(st["var"])))
+        if "alpha" in layer:
+            put(layer, "alpha", get(f"{scope}/prelu/prelu"))
+    for i in range(len(cfg.embed_dims)):
+        scope = f"embed_layer-{i}"
+        layer = params["embed"][i]
+        put(layer, "w", get(f"{scope}/w"))
+        put(layer, "b", get(f"{scope}/b"))
+        put(layer["bn"], "gamma", get(f"{scope}/gamma"))
+        put(layer["bn"], "beta", get(f"{scope}/beta"))
+        st = state["embed"][i]
+        put(st, "mean", get(f"{scope}/mean", np.asarray(st["mean"])))
+        put(st, "var", get(f"{scope}/variance", np.asarray(st["var"])))
+        if "alpha" in layer:
+            put(layer, "alpha", get(f"{scope}/prelu/prelu"))
+    put(params["output"], "w", get("output/w"))
+    put(params["output"], "b", get("output/b"))
     return params, state

@@ -185,3 +185,33 @@ def test_resample_band_limited():
 def test_resample_same_rate_noop():
     x = np.arange(100, dtype=np.float32)
     assert W.resample(x, 8000, 8000) is x
+
+
+def test_alaw_decode_known_values():
+    """G.711 A-law spot checks from the standard's coding tables: byte
+    0x55 (after inversion 0x00) is the smallest positive step (+8),
+    0xD5 its negative twin; 0x2A -> -largest segment boundary family."""
+    vals = W._alaw_decode(np.array([0x55, 0xD5, 0xAA, 0x2A], np.uint8))
+    assert vals[0] == 8.0 and vals[1] == -8.0
+    # sign symmetry and dynamic-range sanity across all bytes
+    a = np.arange(256, dtype=np.uint8)
+    dec = W._alaw_decode(a)
+    assert dec.max() <= 32768 and dec.min() >= -32768
+    # invertible-by-magnitude: each code maps to a distinct magnitude
+    # within its sign half
+    pos = dec[dec > 0]
+    assert len(np.unique(pos)) == len(pos)
+
+
+def test_alaw_sphere_roundtrip(tmp_path):
+    head = ("NIST_1A\n   1024\n"
+            "sample_count -i 4\nchannel_count -i 1\n"
+            "sample_rate -i 8000\nsample_n_bytes -i 1\n"
+            "sample_coding -s4 alaw\nend_head\n")
+    data = bytes([0x55, 0xD5, 0x2A, 0xAA])
+    p = tmp_path / "a.sph"
+    p.write_bytes(head.encode().ljust(1024, b" ") + data)
+    samples, rate = W.load_wave(str(p))
+    assert rate == 8000
+    np.testing.assert_array_equal(
+        samples, W._alaw_decode(np.frombuffer(data, np.uint8)))

@@ -126,6 +126,18 @@ def _shorten_to_samples(payload: bytes, sample_count):
 _MULAW_BIAS = 0x84
 
 
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte → linear (int16-scale float32)."""
+    a = a.astype(np.uint8) ^ 0x55          # even-bit inversion
+    sign = (a & 0x80) != 0
+    exponent = (a >> 4) & 0x07
+    mantissa = (a & 0x0F).astype(np.int32)
+    mag = np.where(exponent == 0,
+                   (mantissa << 4) + 8,
+                   ((mantissa << 4) + 0x108) << (exponent - 1))
+    return np.where(sign, -mag, mag).astype(np.float32)
+
+
 def _mulaw_decode(u: np.ndarray) -> np.ndarray:
     u = ~u.astype(np.uint8)
     sign = (u & 0x80) != 0
@@ -166,7 +178,9 @@ def read_sphere(path: str, channel: Optional[int] = None
         n_count = fields.get("sample_count")
         decoded = _shorten_to_samples(
             raw, int(n_count) if n_count is not None else None)
-        if "ulaw" in coding or n_bytes == 1:
+        if "alaw" in coding:
+            decoded = _alaw_decode(decoded.astype(np.uint8))
+        elif "ulaw" in coding or n_bytes == 1:
             decoded = _mulaw_decode(decoded.astype(np.uint8))
         else:
             decoded = decoded.astype(np.float32)
@@ -175,7 +189,9 @@ def read_sphere(path: str, channel: Optional[int] = None
         elif decoded.ndim > 1:
             decoded = decoded[:, 0]
         return decoded, rate
-    if "ulaw" in coding or n_bytes == 1:
+    if "alaw" in coding:
+        samples = _alaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    elif "ulaw" in coding or n_bytes == 1:
         samples = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
     else:
         dt = "<i2" if byte_fmt == "01" else ">i2"

@@ -162,3 +162,33 @@ def test_device_forensics_snapshot():
     assert snap["process_count"] >= 1
     assert len(snap["devices"]) >= 1
     assert "memory_stats" in snap
+
+
+def test_model0_saved_even_with_nonzero_start_iter(tmp_path):
+    """train(start_iter>0) on a fresh dir must still snapshot the initial
+    params so a first-iteration failure can roll back (review r2)."""
+    tr = _mk(tmp_path, "s1")
+    tr.train(lambda i: iter(_batches()), num_archives=2, start_iter=3)
+    assert C.is_complete(C.iteration_path(str(tmp_path / "s1"), 0))
+
+
+def test_extract_cli_accepts_model0_only_dir(tmp_path):
+    """A run that crashed during iteration 0 leaves only model_0; the
+    extraction CLI must use it instead of claiming 'no checkpoint'."""
+    from xvector_tpu.cli import extract_embedding
+    from xvector_tpu.io import kaldi_ark as kio
+
+    tr = _mk(tmp_path, "m0only")
+    C.save_iteration(tr, 0)          # simulate crash-after-model_0
+    rng = np.random.RandomState(0)
+    feats_ark = str(tmp_path / "f.ark")
+    with kio.ArkWriter(feats_ark, feats_ark + ".scp") as w:
+        w.write("u0", rng.randn(80, FEAT).astype(np.float32))
+    out_ark = str(tmp_path / "xv.ark")
+    extract_embedding.main([
+        f"--model-dir={tmp_path / 'm0only'}", "--model=tiny",
+        f"--num-targets={NUM_SPK}",
+        f"--feats-rspecifier=ark:{feats_ark}",
+        f"--output-ark={out_ark}", "--compute-dtype=float32"])
+    xv = dict(kio.read_vec_flt_scp(out_ark.replace(".ark", ".scp")))
+    assert len(xv) == 1

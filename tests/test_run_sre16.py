@@ -159,3 +159,35 @@ def test_run_sre16_end_to_end(corpus, tmp_path, capsys):
     results = json.load(open(tmp_path / "exp" / "sre16_results.json"))
     assert set(results) == {"out_of_domain", "adapted"}
     assert "EER" in out
+
+
+def test_sre16_key_found_in_root_docs_layout(corpus, tmp_path):
+    """Post-eval LDC trees merge the evaluation key into <root>/docs +
+    <root>/metadata; the builder must find it there without an explicit
+    key_root (review r2: the reference's own db_base layout)."""
+    import shutil
+
+    merged = tmp_path / "merged_root"
+    shutil.copytree(corpus / "R149_0_1", merged)
+    key = corpus / "download" / "sre16_evaluation_key"
+    # trial key into docs/, language map into metadata/
+    shutil.copy(key / "docs" / "sre16_eval_trial_key.tsv",
+                merged / "docs")
+    (merged / "metadata").mkdir()
+    shutil.copy(key / "metadata" / "calls.tsv", merged / "metadata")
+    # merged trees carry ONE rich segment key (subjectid AND callid);
+    # the parser must pick the call column by header
+    seg2call = dict(
+        line.split()[:2]
+        for line in (key / "docs" / "sre16_eval_segment_key.tsv")
+        .read_text().splitlines()[1:])
+    rows = ["segmentid\tsubjectid\tcallid"]
+    for line in (merged / "docs" / "sre16_eval_segment_key.tsv") \
+            .read_text().splitlines()[1:]:
+        seg, subj = line.split("\t")
+        rows.append(f"{seg}\t{subj}\t{seg2call[seg]}")
+    (merged / "docs" / "sre16_eval_segment_key.tsv").write_text(
+        "\n".join(rows) + "\n")
+    full = run_sre16.corpora.make_sre16_eval_full(str(merged))
+    assert len(full["trials"]) == 32
+    assert set(full["utt2lang"].values()) == {"tgl", "yue"}

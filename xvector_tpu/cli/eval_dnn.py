@@ -49,8 +49,12 @@ def main(argv=None):
         final = os.path.join(target, "model_final")
         if os.path.exists(final):
             checkpoints.restore_into(trainer, os.path.realpath(final))
-        elif checkpoints.restore_latest(trainer) == 0:
+        elif checkpoints.latest_complete(target) is None:
             sys.exit(f"no checkpoint under {target}")
+        else:
+            # model_0 (the initial-parameters safety save) counts: a run
+            # that crashed in iteration 0 is still evaluable
+            checkpoints.restore_latest(trainer)
 
     loader = archlib.PrefetchLoader(archlib.ArchiveReader(args.egs))
     stats = trainer.evaluate(loader)

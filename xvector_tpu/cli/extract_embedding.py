@@ -91,13 +91,12 @@ def main(argv=None):
                           compute_dtype="bfloat16")
         trainer = Trainer(cfg, args.model_dir, feat_dim=args.feat_dim)
         final = os.path.join(args.model_dir, "model_final")
-        target = final if os.path.exists(final) else None
-        if target is None:
-            it = checkpoints.restore_latest(trainer)
-            if it == 0:
-                sys.exit(f"no checkpoint under {args.model_dir}")
-        else:
+        if os.path.exists(final):
             checkpoints.restore_into(trainer, os.path.realpath(final))
+        elif checkpoints.latest_complete(args.model_dir) is None:
+            sys.exit(f"no checkpoint under {args.model_dir}")
+        else:
+            checkpoints.restore_latest(trainer)
 
     if bool(args.feats_rspecifier) == bool(args.wav_rspecifier):
         sys.exit("pass exactly one of --feats-rspecifier/--wav-rspecifier")

@@ -174,29 +174,59 @@ def make_sre16_eval_full(root: str, key_root: Optional[str] = None
     out: Dict[str, object] = {"enroll": enroll, "test": test,
                               "trials": [], "trials_by_lang": {},
                               "utt2lang": {}}
-    key_root = key_root or os.path.join(root, "..", "download",
-                                        "sre16_evaluation_key")
-    trial_key = os.path.join(key_root, "docs", "sre16_eval_trial_key.tsv")
-    seg_key = os.path.join(key_root, "docs", "sre16_eval_segment_key.tsv")
-    calls = os.path.join(key_root, "metadata", "calls.tsv")
-    if not os.path.exists(trial_key):
+    # the key files ship in several layouts: an explicit key_root, the
+    # reference's <root>/../download/sre16_evaluation_key, or merged
+    # straight into <root>/docs + <root>/metadata (post-eval LDC trees)
+    roots = ([key_root] if key_root else []) + [
+        os.path.join(root, "..", "download", "sre16_evaluation_key"),
+        root]
+
+    def find(*rel):
+        for r in roots:
+            p = os.path.join(r, *rel)
+            if os.path.exists(p):
+                return p
+        return None
+
+    trial_key = find("docs", "sre16_eval_trial_key.tsv")
+    calls = find("metadata", "calls.tsv")
+    if trial_key is None:
         return out
+    # segment→call map: the evaluation key's segment file carries a call
+    # column; the eval tree's own same-named file may instead carry only
+    # subjectid (or both, post-eval merged trees) — pick by header
     utt2call = {}
-    if os.path.exists(seg_key):
-        with open(seg_key) as f:
+    for r in roots:
+        p = os.path.join(r, "docs", "sre16_eval_segment_key.tsv")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            header = f.readline().split()
+            if "callid" in header:
+                ci = header.index("callid")
+            elif len(header) >= 2 and header[1] != "subjectid":
+                ci = 1      # reference layout: segmentid callid
+            else:
+                continue    # subject map, not a call map
             for line in f:
                 toks = line.split()
-                if len(toks) >= 2 and toks[0] != "segment":
-                    utt2call[toks[0]] = toks[1]
+                if len(toks) > ci and toks[0] != "segment":
+                    utt2call[toks[0]] = toks[ci]
+        if utt2call:
+            break
+    if not utt2call or calls is None:
+        import warnings
+        warnings.warn(
+            "sre16 trial key found but segment/language maps missing — "
+            "per-language (tgl/yue) splits will be empty", stacklevel=2)
     call2lang = {}
-    if os.path.exists(calls):
+    if calls:
         with open(calls) as f:
             for line in f:
                 toks = line.split()
                 if len(toks) >= 2:
                     call2lang[toks[0]] = toks[1]
     trials: List[Tuple[str, str, int]] = []
-    by_lang: Dict[str, List[Tuple[str, str, int]]] = {}
     utt2lang: Dict[str, str] = {}
     with open(trial_key) as f:
         for line in f:
@@ -205,13 +235,15 @@ def make_sre16_eval_full(root: str, key_root: Optional[str] = None
                     or toks[0] == "modelid":
                 continue
             model, seg, target = toks[0], toks[1], toks[3]
-            label = 1 if target == "target" else 0
-            trials.append((model, seg, label))
+            trials.append((model, seg, 1 if target == "target" else 0))
             lang = call2lang.get(utt2call.get(seg, ""), "")
             if lang:
                 utt2lang[seg] = lang
-                by_lang.setdefault(lang, []).append((model, seg, label))
-    out.update(trials=trials, trials_by_lang=by_lang, utt2lang=utt2lang)
+    # per-language split via the one canonical partitioner (unknown-
+    # language trials land under "unknown" rather than vanishing)
+    from ..utils.scores import partition_trials
+    out.update(trials=trials, utt2lang=utt2lang,
+               trials_by_lang=partition_trials(trials, utt2lang))
     return out
 
 

@@ -23,7 +23,8 @@ if TYPE_CHECKING:
 
 __all__ = ["save_iteration", "restore_latest", "restore_into",
            "collect_garbage", "mark_final", "iteration_dirs",
-           "is_complete", "pin_seed", "load_pytrees", "save_named"]
+           "is_complete", "pin_seed", "load_pytrees", "save_named",
+           "iteration_path", "latest_complete"]
 
 
 def pin_seed(work_dir: str, seed: int):
@@ -58,6 +59,18 @@ def _iter_dir(work_dir: str, it: int) -> str:
 def iteration_path(work_dir: str, it: int) -> str:
     """Public path accessor for iteration ``it``'s checkpoint dir."""
     return _iter_dir(work_dir, it)
+
+
+def latest_complete(work_dir: str):
+    """Index of the newest COMPLETE iteration checkpoint, or None when
+    the work dir holds none.  Disambiguates ``restore_latest``'s return
+    of 0, which since the model_0 safety save can mean either 'restored
+    the initial parameters' or 'found nothing'."""
+    best = None
+    for it, path in iteration_dirs(work_dir):
+        if is_complete(path):
+            best = it if best is None else max(best, it)
+    return best
 
 
 def is_complete(path: str) -> bool:

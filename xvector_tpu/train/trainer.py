@@ -360,19 +360,24 @@ class Trainer:
                                    xs, ys, tl, nr, lr_, keep_, shrink_, sub)
             stats_pending.append((m, k))
 
-        for feats, labels, true_len in batches:
-            feats, labels, n_rows = self._pad_rows(feats, labels)
-            key = feats.shape
-            buckets.setdefault(key, []).append(
-                (feats, labels, true_len, n_rows))
-            if len(buckets[key]) >= cfg.block_size:
-                inflight.append(uploader.submit(upload,
-                                                buckets.pop(key)))
-                while len(inflight) > 2:
-                    dispatch(inflight.pop(0))
-        while inflight:
-            dispatch(inflight.pop(0))
-        uploader.shutdown()
+        try:
+            for feats, labels, true_len in batches:
+                feats, labels, n_rows = self._pad_rows(feats, labels)
+                key = feats.shape
+                buckets.setdefault(key, []).append(
+                    (feats, labels, true_len, n_rows))
+                if len(buckets[key]) >= cfg.block_size:
+                    inflight.append(uploader.submit(upload,
+                                                    buckets.pop(key)))
+                    while len(inflight) > 2:
+                        dispatch(inflight.pop(0))
+            while inflight:
+                dispatch(inflight.pop(0))
+        finally:
+            # also on loader/dispatch exceptions: the retry path would
+            # otherwise leak one worker thread (plus its in-flight
+            # device buffers) per failed attempt
+            uploader.shutdown(wait=False, cancel_futures=True)
         for key in sorted(buckets):            # ragged leftovers
             for feats, labels, true_len, n_rows in buckets[key]:
                 rng, sub = jax.random.split(rng)
@@ -433,11 +438,11 @@ class Trainer:
 
         checkpoints.pin_seed(self.work_dir, cfg.random_seed)
         start_iter = checkpoints.restore_latest(self, start_iter)
-        if start_iter == 0 and not checkpoints.is_complete(
-                checkpoints.iteration_path(self.work_dir, 0)):
+        if checkpoints.latest_complete(self.work_dir) is None:
             # model_0: the initial parameters, saved BEFORE any update
-            # (train_dnn.py:494) — a failure inside iteration 0 can then
-            # roll back instead of retrying from half-updated params
+            # (train_dnn.py:494) — a failure inside the FIRST attempted
+            # iteration (whatever start_iter is) can then roll back
+            # instead of retrying from half-updated params
             checkpoints.save_iteration(self, 0)
 
         for it in range(start_iter, num_iters):

@@ -191,3 +191,33 @@ def test_sre16_key_found_in_root_docs_layout(corpus, tmp_path):
     full = run_sre16.corpora.make_sre16_eval_full(str(merged))
     assert len(full["trials"]) == 32
     assert set(full["utt2lang"].values()) == {"tgl", "yue"}
+
+
+def test_stage_gating_maps_to_recipe_artifacts(corpus, tmp_path):
+    """--stage uses run.sh's 0-10 numbering; forcing stage 7 must clear
+    extraction artifacts but keep features/egs/checkpoints (review r3:
+    the raw number was previously passed to the recipe's 1-4 artifact
+    stages, clearing nothing)."""
+    work = tmp_path / "exp"
+    args = [
+        "--work-dir", str(work),
+        "--swbd-cell1-root", str(corpus / "LDC2001S13"),
+        "--sre16-eval-root", str(corpus / "R149_0_1"),
+        "--sre16-key-root",
+        str(corpus / "download" / "sre16_evaluation_key"),
+        "--sre16-major-root", str(corpus / "major"),
+        "--model", "tiny", "--num-epochs", "1", "--num-archives", "2",
+        "--min-chunk", "40", "--max-chunk", "80",
+        "--minibatch-size", "8", "--num-repeats", "4",
+        "--compute-dtype", "float32", "--lda-dim", "8",
+    ]
+    run_sre16.main(args)
+    feats_done = work / "feats_train.ark.done"
+    xv_done = work / "xvector_train.scp.done"
+    assert feats_done.exists() and xv_done.exists()
+    t_feats = feats_done.stat().st_mtime
+
+    run_sre16.main(args + ["--stage", "7"])
+    # features untouched (same file), extraction recomputed
+    assert feats_done.stat().st_mtime == t_feats
+    assert xv_done.exists()          # regenerated

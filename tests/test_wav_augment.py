@@ -188,11 +188,11 @@ def test_resample_same_rate_noop():
 
 
 def test_alaw_decode_known_values():
-    """G.711 A-law spot checks from the standard's coding tables: byte
-    0x55 (after inversion 0x00) is the smallest positive step (+8),
-    0xD5 its negative twin; 0x2A -> -largest segment boundary family."""
+    """G.711 A-law spot checks against CCITT g711.c: linear2alaw(+8) is
+    0xD5 (sign bit SET after 0x55 inversion means positive), and 0x55
+    decodes to -8."""
     vals = W._alaw_decode(np.array([0x55, 0xD5, 0xAA, 0x2A], np.uint8))
-    assert vals[0] == 8.0 and vals[1] == -8.0
+    assert vals[0] == -8.0 and vals[1] == 8.0
     # sign symmetry and dynamic-range sanity across all bytes
     a = np.arange(256, dtype=np.uint8)
     dec = W._alaw_decode(a)

@@ -82,8 +82,12 @@ def main(argv=None):
         from ..utils.export import import_reference_h5
         cfg = TrainConfig(model=preset, num_targets=args.num_targets,
                           compute_dtype="bfloat16")
-        trainer = Trainer(cfg, tempfile.mkdtemp(prefix="xv_ref_h5_"),
-                          feat_dim=args.feat_dim)
+        # scratch work dir (no checkpoints are read or written); the
+        # TemporaryDirectory object rides on the trainer so it is
+        # removed at finalisation instead of leaking per run
+        tmp = tempfile.TemporaryDirectory(prefix="xv_ref_h5_")
+        trainer = Trainer(cfg, tmp.name, feat_dim=args.feat_dim)
+        trainer._scratch_dir = tmp
         trainer.params, trainer.state = import_reference_h5(
             args.reference_h5, trainer.model_cfg, args.num_targets)
     else:

@@ -193,19 +193,11 @@ class Recipe:
                     items = pending.pop(b, [])
                     if not items:
                         return
-                    # pad the batch dim too: ragged tails reuse the same
-                    # compiled program instead of compiling a new one.
-                    # int16 upload: audio is int16-scale and host→device
-                    # bandwidth is the front-end's binding constraint
-                    waves = np.zeros((bsz, b), np.int16)
-                    lens = np.zeros(bsz, np.int32)
-                    # rint+clip = what writing a 16-bit wav would do (the
-                    # reference's augmented audio goes through exactly
-                    # that, via wav-reverberate's wav output)
-                    for i, (_, w) in enumerate(items):
-                        waves[i, : len(w)] = np.clip(np.rint(w),
-                                                     -32768, 32767)
-                        lens[i] = len(w)
+                    # pad the batch dim too (ragged tails reuse one
+                    # compiled program); int16 wire format + rint/clip
+                    # quantisation via the shared packer
+                    from ..extract.extractor import pack_wave_batch
+                    waves, lens = pack_wave_batch(items, b, bsz)
                     if key is not None:
                         key, sub = jax.random.split(key)
                     else:
@@ -722,8 +714,15 @@ def main(argv=None):
         provider = lambda u: waves[u]
     elif args.data_dir:
         from ..io.datadir import load_data_dir
+        from ..io.wav import resample
         data = load_data_dir(args.data_dir)
-        provider = lambda u: load_wave(data.wav[u])[0]
+        target_sr = featlib.MfccConfig().sample_rate
+
+        def provider(u):
+            samples, rate = load_wave(data.wav[u])
+            if rate and rate != target_sr:
+                samples = resample(samples, rate, target_sr)
+            return samples
     else:
         ap.error("need --data-dir or --synthetic-speakers")
 

@@ -69,11 +69,21 @@ def build_train_corpus(args) -> DataDir:
     return train.validate()
 
 
-def wav_provider_for(data: DataDir) -> Callable[[str], np.ndarray]:
+def wav_provider_for(data: DataDir, target_sr: int = 8000
+                     ) -> Callable[[str], np.ndarray]:
     def provider(utt: str) -> np.ndarray:
-        samples, _rate = load_wave(data.wav[utt])
+        samples, rate = load_wave(data.wav[utt])
+        if target_sr and rate and rate != target_sr:
+            from ..io.wav import resample
+            samples = resample(samples, rate, target_sr)
         return samples
     return provider
+
+
+# run_sre16's documented stage numbers (0-10, the run.sh layout) →
+# Recipe.force_from_stage's artifact stages (1 features, 2 egs, 3 train,
+# 4 extract; scoring has no artifacts and always recomputes)
+_STAGE_TO_RECIPE = {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 4}
 
 
 def main(argv=None):
@@ -159,10 +169,13 @@ def main(argv=None):
         lda_dim=args.lda_dim)
     recipe = Recipe(cfg)
     if args.stage >= 0:
-        print(f"== forcing re-run from stage {args.stage}")
-        recipe.force_from_stage(args.stage)
+        recipe_stage = _STAGE_TO_RECIPE.get(args.stage, 99)
+        print(f"== forcing re-run from stage {args.stage} "
+              f"(recipe artifact stage {recipe_stage})")
+        recipe.force_from_stage(recipe_stage)
 
-    provider = wav_provider_for(train_data)
+    sr = cfg.mfcc.sample_rate
+    provider = wav_provider_for(train_data, target_sr=sr)
     if args.musan_dir or args.rirs_dir:
         print("== stage 2: augmentation")
         sr = cfg.mfcc.sample_rate
@@ -195,7 +208,7 @@ def main(argv=None):
     print("== stage 7: extraction")
 
     def extract_split(data: DataDir, split: str) -> Dict[str, np.ndarray]:
-        prov = wav_provider_for(data)
+        prov = wav_provider_for(data, target_sr=sr)
         if args.extract_from_wav:
             return recipe.extract_from_wav(trainer, data, prov, split)
         feats = recipe.make_features(data, prov, split=split)

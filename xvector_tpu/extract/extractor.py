@@ -35,7 +35,7 @@ from ..ops import features as F
 
 __all__ = ["ExtractorConfig", "XvectorExtractor", "preprocess",
            "speaker_means", "make_wave_to_xvector", "WaveExtractor",
-           "WaveExtractorConfig", "read_wav_scp"]
+           "WaveExtractorConfig", "read_wav_scp", "pack_wave_batch"]
 
 
 @dataclass(frozen=True)
@@ -226,6 +226,20 @@ class XvectorExtractor:
         return dict(self.extract_iter(stream))
 
 
+def pack_wave_batch(items, bucket_len: int, n_rows: int):
+    """Zero-pad (utt, wave) items into an int16 (n_rows, bucket_len)
+    batch + per-row sample counts — the ONE place that fixes the
+    quantisation (rint+clip, i.e. exactly a 16-bit wav write) and the
+    int16 wire format (host→device bandwidth is the wave paths' binding
+    constraint).  Shared by WaveExtractor and the recipe feature stage."""
+    waves = np.zeros((n_rows, bucket_len), np.int16)
+    lens = np.zeros(n_rows, np.int32)
+    for i, (_, w) in enumerate(items):
+        waves[i, : len(w)] = np.clip(np.rint(w), -32768, 32767)
+        lens[i] = len(w)
+    return waves, lens
+
+
 @dataclass(frozen=True)
 class WaveExtractorConfig:
     """Config for :class:`WaveExtractor` (the ``--from-wav`` mode)."""
@@ -322,14 +336,9 @@ class WaveExtractor:
             # pad the batch dim to batch_size so ragged tails reuse the
             # same compiled program (one compile per bucket, not per
             # (tail, bucket) pair); padded rows have n_samples=0 and are
-            # dropped by the voiced-count filter.  rint+clip = what a
-            # 16-bit wav write does, matching the feature-ark path.
-            n = max(len(items), self.cfg.batch_size)
-            waves = np.zeros((n, b), np.int16)
-            lens = np.zeros(n, np.int32)
-            for i, (_, w) in enumerate(items):
-                waves[i, : len(w)] = np.clip(np.rint(w), -32768, 32767)
-                lens[i] = len(w)
+            # dropped by the voiced-count filter
+            waves, lens = pack_wave_batch(
+                items, b, max(len(items), self.cfg.batch_size))
             return jnp.asarray(waves), jnp.asarray(lens)
 
         upload_q: List[Tuple[List, Any]] = []   # (items, upload future)
@@ -368,22 +377,26 @@ class WaveExtractor:
                                vad=vad)
             yield from self._long.extract_iter([(utt, feats)])
 
-        for utt, wave in stream:
-            wave = np.asarray(wave, np.float32).reshape(-1)
-            if len(wave) > self._long_samples:
-                yield from long_path(utt, wave)
-                continue
-            b = self._bucket(len(wave))
-            buckets.setdefault(b, []).append((utt, wave))
-            if len(buckets[b]) >= self.cfg.batch_size:
+        try:
+            for utt, wave in stream:
+                wave = np.asarray(wave, np.float32).reshape(-1)
+                if len(wave) > self._long_samples:
+                    yield from long_path(utt, wave)
+                    continue
+                b = self._bucket(len(wave))
+                buckets.setdefault(b, []).append((utt, wave))
+                if len(buckets[b]) >= self.cfg.batch_size:
+                    yield from run_bucket(b)
+            for b in sorted(buckets):
                 yield from run_bucket(b)
-        for b in sorted(buckets):
-            yield from run_bucket(b)
-        while upload_q:
-            yield from dispatch_oldest()
-        while inflight:
-            yield from materialize(inflight.pop(0))
-        uploader.shutdown()
+            while upload_q:
+                yield from dispatch_oldest()
+            while inflight:
+                yield from materialize(inflight.pop(0))
+        finally:
+            # also on consumer abandonment / dispatch exceptions: don't
+            # leak the worker thread and its queued device buffers
+            uploader.shutdown(wait=False, cancel_futures=True)
 
     def extract(self, stream) -> Dict[str, np.ndarray]:
         return dict(self.extract_iter(stream))

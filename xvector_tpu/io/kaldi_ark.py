@@ -491,9 +491,12 @@ def _native_stream_iter(rxspec):
         from ..runtime import native
         if not native.stream_supported():
             return None
+        lib = native.get_lib()
     except Exception:
         return None
     if spec.endswith("|"):
+        if lib is None or lib.xta_version() < 3:
+            return None    # fd streaming needs v3; fall back to Python
         def _pipe_iter():
             proc = subprocess.Popen(spec[:-1].strip(), shell=True,
                                     stdout=subprocess.PIPE)

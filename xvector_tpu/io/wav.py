@@ -127,15 +127,18 @@ _MULAW_BIAS = 0x84
 
 
 def _alaw_decode(a: np.ndarray) -> np.ndarray:
-    """G.711 A-law byte → linear (int16-scale float32)."""
+    """G.711 A-law byte → linear (int16-scale float32).
+
+    CCITT g711.c convention: after the even-bit (0x55) inversion, a SET
+    sign bit means a POSITIVE sample."""
     a = a.astype(np.uint8) ^ 0x55          # even-bit inversion
-    sign = (a & 0x80) != 0
+    positive = (a & 0x80) != 0
     exponent = (a >> 4) & 0x07
     mantissa = (a & 0x0F).astype(np.int32)
     mag = np.where(exponent == 0,
                    (mantissa << 4) + 8,
                    ((mantissa << 4) + 0x108) << (exponent - 1))
-    return np.where(sign, -mag, mag).astype(np.float32)
+    return np.where(positive, mag, -mag).astype(np.float32)
 
 
 def _mulaw_decode(u: np.ndarray) -> np.ndarray:

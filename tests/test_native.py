@@ -139,3 +139,64 @@ def test_native_ark_stream_malformed(tmp_path):
         f.write(b"key notbinary")
     with pytest.raises(IOError):
         list(native.ArkStream(bad))
+
+
+def test_native_cm2_parity(tmp_path):
+    """CM2 (flat uint16) entries — what our own writer emits for ≤8-row
+    matrices — decode natively via both read_mat and the stream."""
+    rng = np.random.RandomState(5)
+    ark = str(tmp_path / "cm2.ark")
+    mats = {"short": rng.randn(5, 23).astype(np.float32),
+            "tall": rng.randn(60, 23).astype(np.float32)}  # CM2 + CM mix
+    with kio.ArkWriter(ark, compress=True) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    want = dict(kio.read_mat_ark(ark))
+    got_stream = dict(native.ArkStream(ark))
+    assert set(got_stream) == set(mats)
+    for k in mats:
+        np.testing.assert_allclose(got_stream[k], want[k], atol=1e-6)
+        # random-access path too
+        np.testing.assert_allclose(
+            native.read_mat(ark, _offset_of(ark, k)), want[k], atol=1e-6)
+
+
+def _offset_of(ark, key):
+    """Byte offset of the \\0B marker for ``key`` in a bare ark file."""
+    data = open(ark, "rb").read()
+    i = data.index(key.encode() + b" \x00B")
+    return i + len(key) + 1
+
+
+def test_native_mat_shape_header_only(tmp_path):
+    """mat_shape reads dims for FM, DM, CM and CM2 without decoding."""
+    rng = np.random.RandomState(6)
+    plain = str(tmp_path / "p.ark")
+    with kio.ArkWriter(plain) as w:
+        w.write("f", rng.randn(17, 9).astype(np.float32))
+    assert native.mat_shape(plain, _offset_of(plain, "f")) == (17, 9)
+    comp = str(tmp_path / "c.ark")
+    with kio.ArkWriter(comp, compress=True) as w:
+        w.write("cm", rng.randn(33, 7).astype(np.float32))   # CM
+        w.write("cm2", rng.randn(4, 7).astype(np.float32))   # CM2
+    assert native.mat_shape(comp, _offset_of(comp, "cm")) == (33, 7)
+    assert native.mat_shape(comp, _offset_of(comp, "cm2")) == (4, 7)
+    dbl = str(tmp_path / "d.ark")
+    kio.write_mat(dbl, rng.randn(6, 4), key="u")
+    assert native.mat_shape(dbl, 2) == (6, 4)
+
+
+def test_native_corrupt_dims_rejected(tmp_path):
+    """Absurd dims in the header must return an error, not crash the
+    process via a std::bad_alloc thrown across the C ABI."""
+    import struct
+    bad = str(tmp_path / "huge.ark")
+    with open(bad, "wb") as f:
+        f.write(b"u \x00BFM \x04" + struct.pack("<i", 1 << 30)
+                + b"\x04" + struct.pack("<i", 1 << 30))
+    with pytest.raises(IOError):
+        native.read_mat(bad, 2)
+    with pytest.raises(IOError):
+        native.mat_shape(bad, 2)
+    with pytest.raises(IOError):
+        list(native.ArkStream(bad))

@@ -203,6 +203,8 @@ def decode(data: bytes, max_samples: Optional[int] = None
             continue
         if cmd == FN_BITSHIFT:
             bitshift = br.uvar(BITSHIFTSIZE)
+            if bitshift > 31:       # same guard as the C++ port (-15)
+                raise ValueError(f"bad shorten bitshift {bitshift}")
             continue
         if cmd == FN_VERBATIM:
             n = br.uvar(VERBATIM_CKSIZE_SIZE)
@@ -217,6 +219,8 @@ def decode(data: bytes, max_samples: Optional[int] = None
             resn = br.uvar(ENERGYSIZE)
             if version == 0:
                 resn -= 1
+            if not (0 <= resn <= 48):   # same guard as the C++ port
+                raise ValueError(f"bad shorten residual width {resn}")
         # per-channel DC offset from the running block-mean window
         off = offsets[chan]
         if nmean == 0:

@@ -37,7 +37,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # ALWAYS run make: it is a freshness no-op when the .so is newer than
+    # xta_io.cc, and it rebuilds a stale .so after source fixes (which
+    # would otherwise stay live forever since xta_version may not bump)
+    built = _build()
+    if not os.path.exists(_LIB_PATH) and not built:
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -251,7 +255,7 @@ def read_vec_matrix(path_or_fd, dim_hint: int = 512,
     if lib is None or lib.xta_version() < 3:
         raise RuntimeError("libxta bulk vector read unavailable")
     stream = ArkStream(path_or_fd)
-    key_stride = 256
+    key_stride = 1024        # matches the C key capacity
     keys = []
     chunks = []
     dim = None
@@ -260,7 +264,7 @@ def read_vec_matrix(path_or_fd, dim_hint: int = 512,
             # first call reads ONE row with a generous float budget to
             # learn the true dim; later calls size buffers exactly
             cap = batch_rows if dim else 1
-            buf = np.empty(cap * dim if dim else max(dim_hint, 4096),
+            buf = np.empty(cap * dim if dim else max(dim_hint, 1 << 20),
                            np.float32)
             # np.empty, not create_string_buffer: no 16 MB memset per batch
             kbuf = np.empty(cap * key_stride, np.uint8)
@@ -271,6 +275,11 @@ def read_vec_matrix(path_or_fd, dim_hint: int = 512,
                 buf.size, kbuf.ctypes.data_as(ctypes.c_char_p),
                 cap * key_stride, cap,
                 ctypes.byref(dim_out), ctypes.byref(kused))
+            if n == -13:
+                raise IOError(
+                    "vector dim exceeds the probe budget "
+                    f"({max(dim_hint, 1 << 20)} floats); pass a larger "
+                    "dim_hint")
             if n < 0:
                 raise IOError(f"bulk vector read failed ({n})")
             if n == 0:
@@ -280,8 +289,11 @@ def read_vec_matrix(path_or_fd, dim_hint: int = 512,
             elif dim_out.value != dim:
                 raise IOError("ragged vector dims in ark")
             chunks.append(buf[: n * dim].reshape(n, dim).copy())
-            keys.extend(kbuf[: kused.value].tobytes()
-                        .decode("latin1").splitlines())
+            # split ONLY on the \n separators the C side wrote —
+            # splitlines() would also split on \x1c-\x1e / \x85 bytes
+            # that are legal inside Kaldi keys
+            blob = kbuf[: kused.value].tobytes().decode("latin1")
+            keys.extend(blob.split("\n")[:-1])
             if n < cap:
                 break
     finally:
@@ -306,6 +318,10 @@ def materialize_chunks(sources: Sequence[Tuple[str, int, int, int]],
         raise RuntimeError("libxta unavailable")
     n = len(sources)
     n_slots = n_slots or n
+    if n_slots < n:
+        raise ValueError(
+            f"n_slots={n_slots} < {n} chunks would write past the "
+            "output buffer")
     paths = (ctypes.c_char_p * n)(*[s[0].encode() for s in sources])
     offsets = np.asarray([s[1] for s in sources], np.int64)
     row_begin = np.asarray([s[2] for s in sources], np.int32)

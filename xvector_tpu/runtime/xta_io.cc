@@ -76,6 +76,14 @@ static int read_exact(std::FILE* f, void* dst, size_t n) {
   return std::fread(dst, 1, n, f) == n ? 0 : -1;
 }
 
+// Sanity bounds on matrix dims read from (possibly corrupt) files: a
+// resize() from unvalidated dims would throw across the C ABI and
+// std::terminate the embedding Python process.
+static inline bool dims_ok(int64_t rows, int64_t cols) {
+  return rows >= 0 && cols >= 0 && rows <= (1 << 28) &&
+         cols <= (1 << 22) && rows * cols <= (int64_t)1 << 31;
+}
+
 // Decode a matrix payload given its already-consumed 3-byte format tag.
 static int decode_mat_body(std::FILE* f, const char* hdr, Matrix* out) {
   auto read_i32 = [&](int32_t* v) -> int {
@@ -87,6 +95,7 @@ static int decode_mat_body(std::FILE* f, const char* hdr, Matrix* out) {
     const bool dbl = hdr[0] == 'D';
     int32_t rows, cols;
     if (read_i32(&rows) || read_i32(&cols)) return -1;
+    if (!dims_ok(rows, cols)) return -4;
     out->rows = rows;
     out->cols = cols;
     out->data.resize((size_t)rows * cols);
@@ -99,12 +108,46 @@ static int decode_mat_body(std::FILE* f, const char* hdr, Matrix* out) {
     }
     return 0;
   }
+  if (!std::memcmp(hdr, "CM2", 3)) {   // flat uint16 linear encoding
+    float gmin, grange;
+    int32_t rows, cols;
+    if (read_exact(f, &gmin, 4) || read_exact(f, &grange, 4) ||
+        read_exact(f, &rows, 4) || read_exact(f, &cols, 4))
+      return -1;
+    if (!dims_ok(rows, cols)) return -4;
+    std::vector<uint16_t> codes((size_t)rows * cols);
+    if (read_exact(f, codes.data(), codes.size() * 2)) return -1;
+    out->rows = rows;
+    out->cols = cols;
+    out->data.resize(codes.size());
+    const double inv = 1.0 / 65535.0;
+    for (size_t i = 0; i < codes.size(); ++i)
+      out->data[i] = (float)(gmin + grange * codes[i] * inv);
+    return 0;
+  }
+  if (!std::memcmp(hdr, "CM3", 3)) {   // flat uint8 linear encoding
+    float gmin, grange;
+    int32_t rows, cols;
+    if (read_exact(f, &gmin, 4) || read_exact(f, &grange, 4) ||
+        read_exact(f, &rows, 4) || read_exact(f, &cols, 4))
+      return -1;
+    if (!dims_ok(rows, cols)) return -4;
+    std::vector<uint8_t> codes((size_t)rows * cols);
+    if (read_exact(f, codes.data(), codes.size())) return -1;
+    out->rows = rows;
+    out->cols = cols;
+    out->data.resize(codes.size());
+    for (size_t i = 0; i < codes.size(); ++i)
+      out->data[i] = (float)(gmin + grange * codes[i] / 255.0);
+    return 0;
+  }
   if (!std::memcmp(hdr, "CM ", 3)) {   // CompressedMatrix format 1
     float gmin, grange;
     int32_t rows, cols;
     if (read_exact(f, &gmin, 4) || read_exact(f, &grange, 4) ||
         read_exact(f, &rows, 4) || read_exact(f, &cols, 4))
       return -1;
+    if (!dims_ok(rows, cols)) return -4;
     std::vector<uint16_t> hdrs((size_t)cols * 4);
     if (read_exact(f, hdrs.data(), hdrs.size() * 2)) return -1;
     std::vector<uint8_t> codes((size_t)cols * rows);
@@ -170,18 +213,53 @@ static int read_mat_at(const char* path, int64_t offset, Matrix* out) {
   return rc;
 }
 
+// Header-only dims probe: reads the format tag + dims, NO payload (the
+// scp random-access path calls this once per utterance just for a row
+// count).
+static int read_shape_at(const char* path, int64_t offset, int32_t* rows,
+                         int32_t* cols) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  int rc = -1;
+  do {
+    if (offset > 0 && std::fseek(f, (long)offset, SEEK_SET)) break;
+    char marker[2];
+    if (read_exact(f, marker, 2) || marker[0] != '\0' || marker[1] != 'B')
+      break;
+    char hdr[3];
+    if (read_exact(f, hdr, 3)) break;
+    int32_t r, c;
+    if (!std::memcmp(hdr, "FM ", 3) || !std::memcmp(hdr, "DM ", 3)) {
+      unsigned char dims[10];
+      if (read_exact(f, dims, 10) || dims[0] != 4 || dims[5] != 4) break;
+      std::memcpy(&r, dims + 1, 4);
+      std::memcpy(&c, dims + 6, 4);
+    } else if (!std::memcmp(hdr, "CM", 2)) {
+      float g2[2];
+      if (read_exact(f, g2, 8) || read_exact(f, &r, 4) ||
+          read_exact(f, &c, 4))
+        break;
+    } else {
+      rc = -2;
+      break;
+    }
+    if (!dims_ok(r, c)) { rc = -4; break; }
+    *rows = r;
+    *cols = c;
+    rc = 0;
+  } while (false);
+  std::fclose(f);
+  return rc;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Probe a matrix's dims.  Returns 0 on success.
+// Probe a matrix's dims — header-only, no payload decode.
 int xta_mat_shape(const char* path, int64_t offset, int32_t* rows,
                   int32_t* cols) {
-  Matrix m;
-  if (read_mat_at(path, offset, &m)) return -1;
-  *rows = m.rows;
-  *cols = m.cols;
-  return 0;
+  return read_shape_at(path, offset, rows, cols);
 }
 
 // Read a matrix into a caller-provided buffer of capacity cap floats.
@@ -224,7 +302,21 @@ int xta_materialize(int64_t n, const char** paths, const int64_t* offsets,
 #pragma omp for schedule(dynamic, 4)
 #endif
     for (int64_t i = 0; i < n; ++i) {
-      if (status) continue;
+      int snapshot = 0;
+#ifdef _OPENMP
+#pragma omp atomic read
+#endif
+      snapshot = status;
+      if (snapshot) continue;
+      // first-observed failure wins; the critical section both orders
+      // the write and keeps the report stable (a plain write raced the
+      // reads above)
+#ifdef _OPENMP
+#define XTA_FAIL(code)                                                  \
+  _Pragma("omp critical(xta_status)") { if (status == 0) status = (code); }
+#else
+#define XTA_FAIL(code) { if (status == 0) status = (code); }
+#endif
       std::string key = std::string(paths[i]) + ":" +
                         std::to_string(offsets[i]);
       auto it = cache.find(key);
@@ -232,22 +324,17 @@ int xta_materialize(int64_t n, const char** paths, const int64_t* offsets,
         if (cache.size() > 64) cache.clear();
         Matrix m;
         if (read_mat_at(paths[i], offsets[i], &m)) {
-#ifdef _OPENMP
-#pragma omp atomic write
-#endif
-          status = (int)(-100 - i);
+          XTA_FAIL((int)(-100 - i));
           continue;
         }
         it = cache.emplace(std::move(key), std::move(m)).first;
       }
       const Matrix& m = it->second;
       if (m.cols != feat_dim || row_begin[i] + lengths[i] > m.rows) {
-#ifdef _OPENMP
-#pragma omp atomic write
-#endif
-        status = (int)(-200 - i);
+        XTA_FAIL((int)(-200 - i));
         continue;
       }
+#undef XTA_FAIL
       uint16_t* dst = out + (size_t)out_index[i] * pad_len * feat_dim;
       const float* src =
           m.data.data() + (size_t)row_begin[i] * feat_dim;
@@ -290,7 +377,10 @@ void* xta_stream_open_fd(int fd) {
   int owned = dup(fd);
   if (owned < 0) return nullptr;
   std::FILE* f = fdopen(owned, "rb");
-  if (!f) return nullptr;
+  if (!f) {
+    close(owned);   // don't leak the dup'd descriptor
+    return nullptr;
+  }
   XtaStream* s = new XtaStream;
   s->f = f;
   std::setvbuf(f, nullptr, _IOFBF, 1 << 20);
@@ -334,6 +424,7 @@ int xta_stream_next(void* handle, char* key, int64_t key_cap, int32_t* rows,
       return -7;
     std::memcpy(&s->rows, dims + 1, 4);
     std::memcpy(&s->cols, dims + 6, 4);
+    if (!dims_ok(s->rows, s->cols)) return -7;
     s->fmt = hdr[0];
     s->pending = true;
   } else if (!std::memcmp(hdr, "FV ", 3) || !std::memcmp(hdr, "DV ", 3)) {
@@ -342,11 +433,12 @@ int xta_stream_next(void* handle, char* key, int64_t key_cap, int32_t* rows,
     if (read_exact(s->f, dimbuf, 5) || dimbuf[0] != 4) return -7;
     int32_t dim;
     std::memcpy(&dim, dimbuf + 1, 4);
+    if (!dims_ok(1, dim) || dim > (1 << 28)) return -7;
     s->rows = 1;
     s->cols = dim;
     s->fmt = hdr[0];
     s->pending = true;
-  } else if (!std::memcmp(hdr, "CM ", 3)) {
+  } else if (!std::memcmp(hdr, "CM", 2)) {   // CM , CM2, CM3
     if (decode_mat_body(s->f, hdr, &s->cur)) return -7;
     s->fmt = 'C';
     s->rows = s->cur.rows;
@@ -593,6 +685,7 @@ int64_t xta_shorten_decode(const char* data, int64_t len, int32_t* out,
       }
       case BITSHIFT:
         bitshift = (int)br.uvar(kBitshiftSize);
+        if (bitshift < 0 || bitshift > 31) return -15;  // UB shift guard
         continue;
       case VERBATIM: {
         int64_t n = br.uvar(kVerbCkSize);
@@ -610,6 +703,7 @@ int64_t xta_shorten_decode(const char* data, int64_t len, int32_t* out,
     if (cmd != ZERO) {
       resn = (int)br.uvar(kEnergySize);
       if (h.version == 0) resn -= 1;
+      if (resn < 0 || resn > 48) return -16;  // residual width guard
     }
     auto& off = offset[chan];
     int64_t coffset;

@@ -320,6 +320,23 @@ def test_mfcc_batch_matches_single():
         np.testing.assert_allclose(feats[i, :t], ref, rtol=1e-4, atol=1e-3)
 
 
+def test_mfcc_batch_buffer_shorter_than_reflection():
+    """A batch whose padded buffer is narrower than the snip-edges=false
+    left-reflection width (60 samples at 8 kHz defaults) must not crash
+    the bulk framing path and must still match the single-utterance
+    reference (every frame is rewritten by the exact tail-fix gather)."""
+    cfg = F.MfccConfig(dither=0.0)
+    lens = [50, 30]                           # buffer S=50 < lpad=60
+    waves, n = _ragged_waves(lens, seed=9)
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    feats, mask = np.asarray(feats), np.asarray(mask)
+    for i, ln in enumerate(lens):
+        ref = np.asarray(F.mfcc(waves[i, :ln], cfg))
+        t = ref.shape[0]
+        assert mask[i].sum() == t
+        np.testing.assert_allclose(feats[i, :t], ref, rtol=1e-4, atol=1e-3)
+
+
 def test_energy_vad_batch_matches_single():
     cfg = F.MfccConfig(dither=0.0)
     lens = [8000, 3000, 11000]

@@ -389,10 +389,15 @@ def mfcc_batch(waves: jnp.ndarray, n_samples: jnp.ndarray,
     # frame j occupies chunks j..j+k_chunks-1 of the padded stream, so
     # cover frame t-1 and keep the total an exact multiple of `shift`
     padded_len = (t - 1 + k_chunks) * shift
-    # Kaldi mirrors about -0.5: sample -k reflects to k-1
-    parts = [waves[:, :lpad][:, ::-1], waves]
-    if padded_len > lpad + s:
-        parts.append(jnp.zeros((b, padded_len - lpad - s), waves.dtype))
+    # Kaldi mirrors about -0.5: sample -k reflects to k-1.  If the whole
+    # batch buffer is shorter than the reflection width, clamp it — every
+    # frame of such a batch satisfies t <= k_fix, so the per-row tail fix
+    # below rewrites all of them with the exact reflect formula and the
+    # bulk values never survive.
+    lpad_eff = min(lpad, s)
+    parts = [waves[:, :lpad_eff][:, ::-1], waves]
+    if padded_len > lpad_eff + s:
+        parts.append(jnp.zeros((b, padded_len - lpad_eff - s), waves.dtype))
     padded = jnp.concatenate(parts, axis=1)[:, :padded_len]
     r = padded.reshape(b, -1, shift)
     frames = jnp.concatenate(

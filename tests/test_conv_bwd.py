@@ -39,6 +39,28 @@ def test_fused_bwd_matches_xla_vjp(k, d, cin, cout):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("k,d,cin,cout", [
+    (5, 1, 128, 128),
+    (7, 1, 128, 256),
+    (3, 3, 128, 128),
+])
+def test_pallas_fwd_matches_shifted_dots(k, d, cin, cout):
+    """The read-once Pallas forward (the path the real TPU takes) matches
+    the shifted-dot lowering; exercised directly in interpret mode since
+    conv1d_same_fused_bwd keeps the XLA forward under interpret."""
+    B, T = 8, 32
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, T, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(k, cin, cout) * 0.05, jnp.float32)
+    y_ref = CB._fwd_shifted_dots(x, w, d, T)
+    left = (k - 1) // 2 * d
+    xp = jnp.pad(x, ((0, 0), (left, CB._TPAD - left), (0, 0)))
+    w2d = w.reshape(k * cin, cout)
+    y = CB._pallas_fwd(xp, w2d, k, d, T, x.dtype, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_supported_gating():
     # narrow front layer (23-dim MFCC) and k=1 layers must not take the
     # Pallas path; unaligned time/batch fall back too

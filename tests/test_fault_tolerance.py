@@ -101,6 +101,103 @@ def test_iteration_zero_failure_rolls_back_to_model_zero(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_preemption_mid_iteration_resumes_bit_identically(tmp_path):
+    """A SIGTERM mid-iteration abandons the in-flight iteration and exits
+    cleanly; a rerun resumes from the last complete checkpoint and ends
+    bit-identical to an uninterrupted run (SURVEY §5 checkpoint/resume,
+    extended to cooperative preemption)."""
+    import json
+    import os
+    import signal
+
+    from xvector_tpu.train.preemption import GracefulPreemption
+
+    batches = _batches()
+
+    tr_ref = _mk(tmp_path, "ref")
+    tr_ref.train(lambda i: iter(batches), num_archives=2)
+    want = np.asarray(tr_ref.params["output"]["b"])
+
+    tr_a = _mk(tmp_path, "pre")
+    calls = {"n": 0}
+
+    def loader(i):
+        calls["n"] += 1
+        if calls["n"] == 3:     # the REAL signal, mid-iteration 2
+            def gen():
+                yield batches[0]
+                os.kill(os.getpid(), signal.SIGTERM)
+                yield batches[1]          # stop_check fires before this
+                yield batches[2]
+            return gen()
+        return iter(batches)
+
+    with GracefulPreemption() as pre:
+        done = tr_a.train(loader, num_archives=2, preemption=pre)
+        assert pre.requested
+    assert done == 2            # two complete iterations, third abandoned
+    metrics = [json.loads(l) for l in
+               open(str(tmp_path / "pre" / "metrics.jsonl"))]
+    kinds = [m for m in metrics if m.get("kind") == "preempted"]
+    assert kinds and kinds[-1]["where"] == "mid_iteration"
+    assert not os.path.exists(str(tmp_path / "pre" / "model_final"))
+
+    # rerun (fresh process equivalent): completes and matches exactly
+    tr_b = _mk(tmp_path, "pre")
+    final = tr_b.train(lambda i: iter(batches), num_archives=2)
+    assert final == 4
+    got = np.asarray(tr_b.params["output"]["b"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_preemption_at_iteration_boundary(tmp_path):
+    """A flag already set when an iteration would start exits before any
+    work, returning the completed-iteration count."""
+    from xvector_tpu.train.preemption import GracefulPreemption
+
+    batches = _batches()
+    tr = _mk(tmp_path, "bnd")
+    pre = GracefulPreemption()          # not entered: no handlers needed
+    seen = {"n": 0}
+
+    def loader(i):
+        seen["n"] += 1
+        if seen["n"] == 2:
+            def gen():
+                yield from batches
+                pre.trigger()       # fires after iteration 1's last batch
+            return gen()
+        return iter(batches)
+
+    done = tr.train(loader, num_archives=2, preemption=pre)
+    # iteration 1 completes (checkpointed); iteration 2 never starts
+    assert done == 2 and seen["n"] == 2
+    import json
+    metrics = [json.loads(l) for l in
+               open(str(tmp_path / "bnd" / "metrics.jsonl"))]
+    kinds = [m for m in metrics if m.get("kind") == "preempted"]
+    assert kinds and kinds[-1]["where"] == "iteration_boundary"
+
+
+def test_preemption_handler_chains_and_restores(tmp_path):
+    import os
+    import signal
+
+    from xvector_tpu.train.preemption import GracefulPreemption
+
+    hits = []
+    marker = lambda s, f: hits.append(s)           # noqa: E731
+    prev = signal.signal(signal.SIGTERM, marker)
+    try:
+        with GracefulPreemption() as pre:
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert pre.requested
+            assert hits == [signal.SIGTERM]        # chained to previous
+        assert signal.getsignal(signal.SIGTERM) is marker  # restored
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_retry_rng_differs_between_attempts(tmp_path):
     """Retries must not be bit-identical replays: with dropout active, the
     attempt index folds into the iteration RNG so a data-dependent

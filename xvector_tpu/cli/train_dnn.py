@@ -106,15 +106,24 @@ def main(argv=None):
         return lambda: archlib.PrefetchLoader(archlib.ArchiveReader(p))
 
     trainer = Trainer(cfg, args.work_dir, feat_dim=feat_dim)
-    final = trainer.train(archive_batches, len(paths),
-                          valid_batches=diag("valid_egs.xta"),
-                          train_subset_batches=diag("train_subset_egs.xta"),
-                          start_iter=args.stage)
+    # SIGTERM (pod maintenance / capacity reclaim) stops at the next safe
+    # point; the per-iteration checkpoint makes a rerun resume exactly
+    from ..train.preemption import GracefulPreemption
+    with GracefulPreemption() as pre:
+        final = trainer.train(
+            archive_batches, len(paths),
+            valid_batches=diag("valid_egs.xta"),
+            train_subset_batches=diag("train_subset_egs.xta"),
+            start_iter=args.stage, preemption=pre)
     from ..utils.scores import generate_report
     report = generate_report(os.path.join(args.work_dir, "metrics.jsonl"))
     with open(os.path.join(args.work_dir, "accuracy.report"), "w") as f:
         f.write(report)
-    print(f"trained {final} iterations -> {args.work_dir}/model_final")
+    if pre.requested:
+        print(f"preempted after {final} complete iterations -> "
+              f"{args.work_dir} (rerun to resume)")
+    else:
+        print(f"trained {final} iterations -> {args.work_dir}/model_final")
 
 
 if __name__ == "__main__":

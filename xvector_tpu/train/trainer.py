@@ -308,7 +308,8 @@ class Trainer:
     # -- core loops --------------------------------------------------------
     def train_one_iteration(self, it: int, batches: Iterable, lr: float,
                             dropout: float, shrink: float,
-                            attempt: int = 0) -> Dict[str, float]:
+                            attempt: int = 0,
+                            stop_check=None) -> Dict[str, float]:
         """One iteration = one pass over one archive's minibatches
         (train_dnn_one_iteration semantics, minus the process boundary).
 
@@ -317,8 +318,13 @@ class Trainer:
         time and run as one device dispatch; ragged leftovers use the
         per-minibatch step.  ``attempt`` > 0 (an iteration retry) folds
         into the RNG so a data-dependent failure isn't replayed
-        bit-identically and allowed to burn every retry.
+        bit-identically and allowed to burn every retry.  ``stop_check``
+        (e.g. a :class:`~xvector_tpu.train.preemption.GracefulPreemption`)
+        is polled between blocks; when it fires the iteration is abandoned
+        with :class:`PreemptedError` — its partial updates live only in
+        process memory, so a resume replays it from the checkpoint.
         """
+        from .preemption import PreemptedError
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.random_seed + 1000 * it)
         if attempt:
@@ -362,6 +368,8 @@ class Trainer:
 
         try:
             for feats, labels, true_len in batches:
+                if stop_check is not None and stop_check():
+                    raise PreemptedError(f"iteration {it}")
                 feats, labels, n_rows = self._pad_rows(feats, labels)
                 key = feats.shape
                 buckets.setdefault(key, []).append(
@@ -419,13 +427,22 @@ class Trainer:
               num_archives: int,
               valid_batches: Optional[Callable[[], Iterable]] = None,
               train_subset_batches: Optional[Callable[[], Iterable]] = None,
-              start_iter: int = 0) -> int:
+              start_iter: int = 0, preemption=None) -> int:
         """Full run.  ``archive_batches(i)`` yields the minibatches of
-        archive ``i % num_archives``.  Returns the final iteration index.
+        archive ``i % num_archives``.  Returns the final iteration index
+        (the number of COMPLETED iterations when preempted early).
 
         num_iters follows train_dnn.py:504 with num_jobs ≡ 1:
         ``num_epochs * num_archives``.
+
+        ``preemption`` (a
+        :class:`~xvector_tpu.train.preemption.GracefulPreemption` or any
+        0-arg callable) makes the run stop cleanly at the next safe point
+        after a shutdown signal: the last complete per-iteration
+        checkpoint stays durable, no ``model_final`` is marked, and a
+        rerun resumes bit-identically.
         """
+        from .preemption import PreemptedError
         cfg = self.cfg
         num_iters = cfg.num_epochs * num_archives
         to_process = cfg.num_epochs * num_archives
@@ -445,7 +462,12 @@ class Trainer:
             # instead of retrying from half-updated params
             checkpoints.save_iteration(self, 0)
 
+        stop_check = preemption if callable(preemption) else None
         for it in range(start_iter, num_iters):
+            if stop_check is not None and stop_check():
+                self._log({"iteration": it, "kind": "preempted",
+                           "where": "iteration_boundary"})
+                return it
             lr = schedules.learning_rate(
                 it, to_process, cfg.initial_effective_lrate,
                 cfg.final_effective_lrate,
@@ -460,8 +482,15 @@ class Trainer:
                 try:
                     stats = self.train_one_iteration(
                         it, archive_batches(it % num_archives), lr, drop,
-                        shrink, attempt=attempt)
+                        shrink, attempt=attempt, stop_check=stop_check)
                     break
+                except PreemptedError:
+                    # abandoned mid-iteration: partial updates are
+                    # process-local only; the rerun restores the last
+                    # complete checkpoint and replays this iteration
+                    self._log({"iteration": it, "kind": "preempted",
+                               "where": "mid_iteration"})
+                    return it
                 except Exception:
                     # device post-mortem next to the retry record (the
                     # reference dumps nvidia-smi/qstat on job failure,

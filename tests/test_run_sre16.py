@@ -117,6 +117,24 @@ def corpus(tmp_path_factory):
         for u in range(3):
             (major / "data" / "unlabeled" / "major" / f"mj{s}{u}.sph") \
                 .write_bytes(_sphere_pcm(_speaker_wave(rng, 100 + s)))
+
+    # ---- an "SRE" corpus as a pre-built Kaldi data dir: its speakers
+    # define the PLDA training subset (run.sh:181-185 sre_combined) ----
+    sre = root / "sre_datadir"
+    (sre / "audio").mkdir(parents=True)
+    utt2spk, wavscp = [], []
+    for s in range(10):
+        for u in range(3):
+            utt = f"sre{s:02d}_{u}"
+            path = sre / "audio" / f"{utt}.sph"
+            path.write_bytes(_sphere_pcm(_speaker_wave(rng, 200 + s)))
+            utt2spk.append(f"{utt} srespk{s:02d}")
+            wavscp.append(f"{utt} {path}")
+    (sre / "utt2spk").write_text("\n".join(utt2spk) + "\n")
+    (sre / "wav.scp").write_text("\n".join(wavscp) + "\n")
+    (sre / "spk2utt").write_text("\n".join(
+        f"srespk{s:02d} " + " ".join(f"sre{s:02d}_{u}" for u in range(3))
+        for s in range(10)) + "\n")
     return root
 
 
@@ -135,12 +153,15 @@ def test_run_sre16_end_to_end(corpus, tmp_path, capsys):
     res = run_sre16.main([
         "--work-dir", str(tmp_path / "exp"),
         "--swbd-cell1-root", str(corpus / "LDC2001S13"),
+        "--sre-data-dir", str(corpus / "sre_datadir"),
         "--sre16-eval-root", str(corpus / "R149_0_1"),
         "--sre16-key-root",
         str(corpus / "download" / "sre16_evaluation_key"),
         "--sre16-major-root", str(corpus / "major"),
-        "--model", "tiny", "--num-epochs", "2", "--num-archives", "2",
+        "--model", "tiny", "--num-epochs", "2",
+        "--frames-per-iter", "25000",   # derive num_archives (get_egs:120)
         "--min-chunk", "40", "--max-chunk", "80",
+        "--min-utt-frames", "39", "--min-spk-utts", "2",
         "--minibatch-size", "8", "--num-repeats", "6",
         "--compute-dtype", "float32", "--lda-dim", "8",
     ])
@@ -159,6 +180,24 @@ def test_run_sre16_end_to_end(corpus, tmp_path, capsys):
     results = json.load(open(tmp_path / "exp" / "sre16_results.json"))
     assert set(results) == {"out_of_domain", "adapted"}
     assert "EER" in out
+
+    # PLDA pool protocol (run.sh:181-185): the sre_combined extraction
+    # covers exactly the SRE-speaker utterances, none of the SWBD ones,
+    # and is NOT subject to the stage-3 egs filters
+    assert "sre_combined (SRE-speaker subset" in out
+    from xvector_tpu.io import kaldi_ark as kio
+    pool = dict(kio.read_vec_flt_scp(
+        str(tmp_path / "exp" / "xvector_sre_combined.scp")))
+    assert len(pool) == 30 and all(u.startswith("sre") for u in pool)
+
+    # the stage-3 filter counts are logged (run.sh:197-212 semantics)
+    assert "egs filter:" in out
+    # num_archives was derived, not defaulted: ~30 SWBD (3 s) + 30 SRE
+    # (3 s) utts of ~300 voiced frames * 6 repeats / 25k per iter + 1
+    info = json.load(open(tmp_path / "exp" / "egs_info.json"))
+    assert info["num_archives"] == \
+        info["num_train_frames"] * 6 // 25000 + 1
+    assert info["num_archives"] >= 2
 
 
 def test_sre16_key_found_in_root_docs_layout(corpus, tmp_path):
@@ -208,12 +247,13 @@ def test_stage_gating_maps_to_recipe_artifacts(corpus, tmp_path):
         "--sre16-major-root", str(corpus / "major"),
         "--model", "tiny", "--num-epochs", "1", "--num-archives", "2",
         "--min-chunk", "40", "--max-chunk", "80",
+        "--min-utt-frames", "39", "--min-spk-utts", "2",
         "--minibatch-size", "8", "--num-repeats", "4",
         "--compute-dtype", "float32", "--lda-dim", "8",
     ]
     run_sre16.main(args)
     feats_done = work / "feats_train.ark.done"
-    xv_done = work / "xvector_train.scp.done"
+    xv_done = work / "xvector_sre_combined.scp.done"
     assert feats_done.exists() and xv_done.exists()
     t_feats = feats_done.stat().st_mtime
 

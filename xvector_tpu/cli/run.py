@@ -47,6 +47,8 @@ class RecipeConfig:
     min_utt_frames: int = 50          # drop too-short utts (run.sh:177-181)
     min_spk_utts: int = 2             # drop sparse speakers (run.sh:183-185)
     allocator: alloclib.AllocatorConfig = alloclib.AllocatorConfig()
+    # 0 = derive from the get_egs.sh:120 formula at make_egs time:
+    # num_train_frames * num_repeats / frames_per_iter + 1
     num_archives: int = 4
     num_valid_utts: int = 20          # get_egs.sh:44 holdout (200 at scale)
     train: TrainConfig = TrainConfig(num_targets=1)   # targets auto-set
@@ -74,6 +76,9 @@ class Recipe:
         # augmented-utt → clean-utt map filled by augment(); consumed by
         # make_features for clean-VAD inheritance (exact, not name-based)
         self._aug_base: Dict[str, str] = {}
+        # resolved archive count: set by make_egs (cfg.num_archives, or the
+        # get_egs.sh:120 derivation when cfg.num_archives == 0)
+        self.num_archives: Optional[int] = None
         os.makedirs(cfg.work_dir, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -138,7 +143,7 @@ class Recipe:
         patterns = {
             1: ["feats_*.ark*", "vad_*.ark*"],
             2: ["egs_feats.ark*", "egs.*.xta", "egs.*.ranges", "pdf2num",
-                "valid_egs.xta", "train_subset_egs.xta"],
+                "egs_info.json", "valid_egs.xta", "train_subset_egs.xta"],
             3: ["exp"],
             4: ["xvector_*.ark*", "xvector_*.scp*"],
         }
@@ -305,20 +310,48 @@ class Recipe:
         cfg = self.cfg
         src, usable = self._prepare_egs_feats(data)
         usable = {u: usable[u] for u in data.utts if u in usable}
+        # stage-3 filters (run.sh:197-212): strictly MORE than
+        # min_utt_frames post-VAD frames (awk '$2 > min_len', min_len=500),
+        # then speakers with >= min_spk_utts utterances (min_num_utts=8)
         keep = [u for u, n in usable.items()
-                if n >= max(cfg.min_utt_frames, cfg.allocator.min_frames)]
-        data = data.filter(keep).subset_speakers(cfg.min_spk_utts)
+                if n > cfg.min_utt_frames and n >= cfg.allocator.min_frames]
+        n_all = len(usable)
+        filtered = data.filter(keep)
+        n_short = n_all - len(filtered)
+        data = filtered.subset_speakers(cfg.min_spk_utts)
+        n_sparse = len(filtered) - len(data)
+        print(f"   egs filter: {n_all} utts -> dropped {n_short} short "
+              f"(<= {cfg.min_utt_frames} voiced frames) + {n_sparse} from "
+              f"sparse speakers (< {cfg.min_spk_utts} utts); kept "
+              f"{len(data)} utts / {len(data.speakers)} speakers")
         valid = data.subset_utts(cfg.num_valid_utts, seed=7)
         train = data.exclude(valid.utts)
-        # labels come from the full (train) speaker set, get_egs.sh stage 0
-        utt2int = train.utt2int()
-        num_targets = len(train.speakers)
+        # label space and num_targets come from the FULL filtered speaker
+        # set, valid holdout included (get_egs.sh stage 0 builds spk2int
+        # from ${data}/spk2utt before the holdout split)
+        s2i_all = data.spk2int()
+        utt2int = {u: s2i_all[s] for u, s in train.utt2spk.items()}
+        num_targets = len(s2i_all)
         with open(self._p("pdf2num"), "w") as f:
             f.write(" ".join(str(i) for i in range(num_targets)))
 
+        # archive count (get_egs.sh:120): num_frames*num_repeats/
+        # frames_per_iter + 1 over the post-filter post-holdout train list
+        num_train_frames = sum(usable[u] for u in train.utts)
+        if cfg.num_archives and cfg.num_archives > 0:
+            num_archives = cfg.num_archives
+        else:
+            num_archives = (num_train_frames * cfg.allocator.num_repeats
+                            // cfg.allocator.frames_per_iter + 1)
+        self.num_archives = num_archives
+        with open(self._p("egs_info.json"), "w") as f:
+            json.dump({"num_archives": num_archives,
+                       "num_targets": num_targets,
+                       "num_train_frames": int(num_train_frames)}, f)
+
         plans = alloclib.allocate_archives(
             {u: usable[u] for u in train.utts}, utt2int, cfg.allocator,
-            num_archives=cfg.num_archives)
+            num_archives=num_archives)
         cache: Dict[str, np.ndarray] = {}
 
         def fetch(utt):
@@ -343,8 +376,9 @@ class Recipe:
                 archlib.materialize_archive(plan, out_path, fetch,
                                             shuffle_seed=seed)
         # diagnostic archives (get_egs.sh:44,100-106): held-out valid utts
-        # + a train-subset probe, evaluated every iteration
-        s2i = train.spk2int()
+        # + a train-subset probe, evaluated every iteration — labels from
+        # the same full-speaker-set mapping as training
+        s2i = s2i_all
 
         def diag_archive(utts_dir: DataDir, name: str):
             u2i = {u: s2i[s] for u, s in utts_dir.utt2spk.items()
@@ -372,6 +406,20 @@ class Recipe:
         diag_archive(train.subset_utts(cfg.num_valid_utts, seed=11),
                      "train_subset_egs.xta")
         return train, valid, num_targets
+
+    def _resolved_num_archives(self) -> int:
+        """Archive count: set by make_egs this run, else recovered from the
+        persisted egs_info.json (resume without re-planning), else the
+        configured value."""
+        if self.num_archives is not None:
+            return self.num_archives
+        info = self._p("egs_info.json")
+        if os.path.exists(info):
+            return int(json.load(open(info))["num_archives"])
+        if not self.cfg.num_archives or self.cfg.num_archives <= 0:
+            raise ValueError("num_archives=0 (derive) but make_egs has not "
+                             "run and no egs_info.json is present")
+        return self.cfg.num_archives
 
     # -- stage 3: train (train_dnn.py) -------------------------------------
     def train(self, num_targets: int, mesh=None) -> Trainer:
@@ -410,7 +458,7 @@ class Recipe:
                 return None
             return lambda: archlib.PrefetchLoader(archlib.ArchiveReader(p))
 
-        trainer.train(archive_batches, self.cfg.num_archives,
+        trainer.train(archive_batches, self._resolved_num_archives(),
                       valid_batches=diag("valid_egs.xta"),
                       train_subset_batches=diag("train_subset_egs.xta"))
         return trainer
@@ -729,7 +777,7 @@ def main(argv=None):
     preset = tdnn.REFERENCE_CLASS_TO_PRESET.get(args.model, args.model)
     cfg = RecipeConfig(
         work_dir=args.work_dir,
-        min_utt_frames=args.min_chunk,
+        min_utt_frames=args.min_chunk - 1,   # the filter is strict '>'
         num_valid_utts=max(2, len(data) // 10),
         num_archives=args.num_archives,
         allocator=alloclib.AllocatorConfig(
@@ -781,7 +829,7 @@ def main(argv=None):
     feat_dir = recipe.make_features(data, provider, split="all")
     print("== stage 2: egs")
     train_dir, valid_dir, num_targets = recipe.make_egs(feat_dir)
-    print(f"   {num_targets} speakers, {cfg.num_archives} archives")
+    print(f"   {num_targets} speakers, {recipe.num_archives} archives")
     print("== stage 3: train")
     trainer = recipe.train(num_targets)
     print("== stage 4: extract"

@@ -34,39 +34,58 @@ from ..io.wav import load_wave
 from .run import Recipe, RecipeConfig, _LazyWaves
 
 
-def build_train_corpus(args) -> DataDir:
+def build_train_corpus(args):
     """Stage 0 training pool: the union of whatever corpora were given
-    (run.sh:60-66 combine_data)."""
-    parts = []
+    (run.sh:60-66 combine_data).
+
+    Returns ``(train, sre_speakers)`` where ``sre_speakers`` is the
+    speaker set of the SRE portion — everything combined into ``data/sre``
+    by run.sh:60-66 (SRE04-06, SRE08, SRE10, Mixer6) plus any
+    ``--sre-data-dir``.  The LDA/PLDA back-end trains on exactly this
+    subset's utterances (clean + augmented), the ``sre_combined`` filter
+    of run.sh:181-185."""
+    parts = []            # (DataDir, is_sre)
     if args.swbd_cell1_root:
-        parts.append(corpora.make_swbd_cellular(args.swbd_cell1_root, 1))
+        parts.append((corpora.make_swbd_cellular(args.swbd_cell1_root, 1),
+                      False))
     if args.swbd_cell2_root:
-        parts.append(corpora.make_swbd_cellular(args.swbd_cell2_root, 2))
+        parts.append((corpora.make_swbd_cellular(args.swbd_cell2_root, 2),
+                      False))
     for phase, root in ((1, args.swbd2_phase1_root),
                         (2, args.swbd2_phase2_root),
                         (3, args.swbd2_phase3_root)):
         if root:
-            parts.append(corpora.make_swbd2_phase(root, phase))
+            parts.append((corpora.make_swbd2_phase(root, phase), False))
     if args.sre_data_root and args.sre_speaker_list:
-        parts.append(corpora.make_sre_04_to_06(args.sre_data_root,
-                                               args.sre_speaker_list))
+        parts.append((corpora.make_sre_04_to_06(args.sre_data_root,
+                                                args.sre_speaker_list),
+                      True))
     if args.sre08_train_root and args.sre08_test_root \
             and args.sre08_key_root:
-        parts.append(corpora.make_sre08(args.sre08_key_root,
-                                        args.sre08_test_root,
-                                        args.sre08_train_root))
+        parts.append((corpora.make_sre08(args.sre08_key_root,
+                                         args.sre08_test_root,
+                                         args.sre08_train_root), True))
     if args.sre10_root:
-        parts.append(corpora.make_sre10(args.sre10_root))
+        parts.append((corpora.make_sre10(args.sre10_root), True))
     if args.mx6_root:
-        parts.append(corpora.make_mx6(args.mx6_root)["all"])
+        # Mixer6 belongs to the data/sre combine (run.sh:60-66)
+        parts.append((corpora.make_mx6(args.mx6_root)["all"], True))
+    if args.sre_data_dir:            # pre-built dir counted as data/sre
+        from ..io.datadir import load_data_dir
+        parts.append((load_data_dir(args.sre_data_dir), True))
     if args.train_data_dir:          # pre-built Kaldi data dir escape hatch
         from ..io.datadir import load_data_dir
-        parts.append(load_data_dir(args.train_data_dir))
+        parts.append((load_data_dir(args.train_data_dir), False))
     if not parts:
         raise SystemExit("no training corpora given (pass --swbd-*/"
                          "--sre-*/--train-data-dir roots)")
-    train = parts[0].combine(*parts[1:]) if len(parts) > 1 else parts[0]
-    return train.validate()
+    sre_speakers = set()
+    for dd, is_sre in parts:
+        if is_sre:
+            sre_speakers.update(dd.speakers)
+    dds = [dd for dd, _ in parts]
+    train = dds[0].combine(*dds[1:]) if len(dds) > 1 else dds[0]
+    return train.validate(), sre_speakers
 
 
 def wav_provider_for(data: DataDir, target_sr: int = 8000
@@ -108,7 +127,14 @@ def main(argv=None):
     ap.add_argument("--mx6-root", default="",
                     help="Mixer-6 root (mic subset + calls, run.sh:56-58)")
     ap.add_argument("--train-data-dir", default="",
-                    help="pre-built Kaldi data dir to add to the pool")
+                    help="pre-built Kaldi data dir to add to the pool "
+                         "(counted as non-SRE, i.e. excluded from the "
+                         "PLDA training subset)")
+    ap.add_argument("--sre-data-dir", default="",
+                    help="pre-built Kaldi data dir counted as part of "
+                         "data/sre: its speakers join the training pool "
+                         "AND define the LDA/PLDA training subset "
+                         "(sre_combined, run.sh:181-185)")
     ap.add_argument("--sre16-major-root", default="",
                     help="SRE16 unlabeled major-language root (the "
                          "adaptation/centering set, run.sh:252)")
@@ -121,14 +147,32 @@ def main(argv=None):
     # model / training knobs (run_xvector.sh:50-108)
     ap.add_argument("--model", default="no_dropout")
     ap.add_argument("--num-epochs", type=int, default=2)
-    ap.add_argument("--num-archives", type=int, default=4)
+    ap.add_argument("--num-archives", type=int, default=0,
+                    help="0 (default) derives the count from the "
+                         "get_egs.sh:120 formula: num_train_frames * "
+                         "num_repeats / frames_per_iter + 1")
+    ap.add_argument("--frames-per-iter", type=float, default=1e9,
+                    help="frames per training archive (run_xvector.sh:56)")
     ap.add_argument("--min-chunk", type=int, default=200)
     ap.add_argument("--max-chunk", type=int, default=400)
     ap.add_argument("--minibatch-size", type=int, default=64)
     ap.add_argument("--num-repeats", type=int, default=35)
+    # stage-3 filters at their reference values (run.sh:197-212)
+    ap.add_argument("--min-utt-frames", type=int, default=500,
+                    help="drop utts with <= this many voiced frames "
+                         "(run.sh:199 min_len, awk '$2 > min_len')")
+    ap.add_argument("--min-spk-utts", type=int, default=8,
+                    help="drop speakers with fewer utterances than this "
+                         "(run.sh:210 min_num_utts)")
+    ap.add_argument("--num-valid-utts", type=int, default=200,
+                    help="held-out diagnostics utts (get_egs.sh:44)")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--lda-dim", type=int, default=100)   # run.sh:28
     ap.add_argument("--extract-from-wav", action="store_true")
+    ap.add_argument("--stream-egs", action="store_true",
+                    help="skip .xta materialisation; training streams "
+                         "minibatches from the egs feature ark through "
+                         "each archive's ranges plan")
     args = ap.parse_args(argv)
 
     from ..data import allocator as alloclib
@@ -136,7 +180,7 @@ def main(argv=None):
     from ..extract.extractor import ExtractorConfig, speaker_means
 
     print("== stage 0: corpus prep")
-    train_data = build_train_corpus(args)
+    train_data, sre_speakers = build_train_corpus(args)
     eval_full = corpora.make_sre16_eval_full(
         args.sre16_eval_root, key_root=args.sre16_key_root or None)
     enroll_data: DataDir = eval_full["enroll"]
@@ -153,20 +197,24 @@ def main(argv=None):
 
     cfg = RecipeConfig(
         work_dir=args.work_dir,
-        min_utt_frames=args.min_chunk,
-        num_valid_utts=max(2, min(200, len(train_data) // 10)),
+        min_utt_frames=args.min_utt_frames,
+        min_spk_utts=args.min_spk_utts,
+        num_valid_utts=max(2, min(args.num_valid_utts,
+                                  len(train_data) // 10)),
         num_archives=args.num_archives,
         allocator=alloclib.AllocatorConfig(
             min_frames=args.min_chunk, max_frames=args.max_chunk,
             minibatch_size=args.minibatch_size,
-            num_repeats=args.num_repeats),
+            num_repeats=args.num_repeats,
+            frames_per_iter=int(args.frames_per_iter)),
         train=TrainConfig(model=args.model, num_targets=1,
                           num_epochs=args.num_epochs,
                           compute_dtype=args.compute_dtype),
         extractor=ExtractorConfig(min_chunk=25, max_chunk=10000,
                                   batch_size=16,
                                   compute_dtype=args.compute_dtype),
-        lda_dim=args.lda_dim)
+        lda_dim=args.lda_dim,
+        stream_egs=args.stream_egs)
     recipe = Recipe(cfg)
     if args.stage >= 0:
         recipe_stage = _STAGE_TO_RECIPE.get(args.stage, 99)
@@ -202,7 +250,7 @@ def main(argv=None):
     train_feats = recipe.make_features(train_data, provider, split="train")
     print("== stage 4-6: egs + train")
     train_dir, _valid_dir, num_targets = recipe.make_egs(train_feats)
-    print(f"   {num_targets} speakers")
+    print(f"   {num_targets} speakers, {recipe.num_archives} archives")
     trainer = recipe.train(num_targets)
 
     print("== stage 7: extraction")
@@ -214,11 +262,25 @@ def main(argv=None):
         feats = recipe.make_features(data, prov, split=split)
         return recipe.extract(trainer, feats, split=split)
 
-    train_xv = recipe.extract(trainer, train_feats, split="train")
-    # the PLDA training pool is the speaker-labeled training split (the
-    # held-out diagnostics utts have no row in train_dir)
-    train_xv = {u: v for u, v in train_xv.items()
-                if u in train_dir.utt2spk}
+    # The LDA/PLDA training pool is sre_combined — the SRE-speaker subset
+    # of the combined clean+augmented list (run.sh:181-185), extracted at
+    # stage 7 like the eval sets (run.sh:236-241) and NOT subject to the
+    # stage-3 egs filters.  Augmented copies inherit their speaker, so
+    # the speaker-membership filter reproduces filter_scp.pl on spk2utt.
+    plda_utts = [u for u in train_feats.utts
+                 if train_feats.utt2spk[u] in sre_speakers]
+    if plda_utts:
+        plda_feats = train_feats.filter(plda_utts)
+        pool_kind = "sre_combined (SRE-speaker subset, run.sh:181-185)"
+    else:
+        # no SRE corpus in the pool (partial runs): fall back to the whole
+        # training list — a protocol deviation, so say so loudly
+        plda_feats = train_feats
+        pool_kind = ("FULL training pool — no SRE corpora given; the "
+                     "reference trains PLDA on the SRE subset only")
+    print(f"   PLDA pool: {len(plda_feats)} utts / "
+          f"{len(plda_feats.speakers)} speakers [{pool_kind}]")
+    plda_xv = recipe.extract(trainer, plda_feats, split="sre_combined")
     enroll_utt_xv = extract_split(enroll_data, "sre16_enroll")
     test_xv = extract_split(test_data, "sre16_test")
     major_xv = (extract_split(major_data, "sre16_major")
@@ -240,12 +302,12 @@ def main(argv=None):
         return {}
     if major_xv:
         res = recipe.score_sre16(
-            train_xv, train_dir, major_xv, spk_enroll, test_xv, trials,
+            plda_xv, plda_feats, major_xv, spk_enroll, test_xv, trials,
             num_utts=num_utts, utt2cond=utt2lang or None,
             lda_dim=args.lda_dim)
     else:
         # no in-domain majors: fall back to single out-of-domain scoring
-        pooled = recipe.score(train_xv, train_dir, spk_enroll, test_xv,
+        pooled = recipe.score(plda_xv, plda_feats, spk_enroll, test_xv,
                               trials, num_utts=num_utts)
         res = {"out_of_domain": pooled}
 

@@ -75,6 +75,64 @@ def test_full_train_loop_checkpoints_and_metrics(tmp_path):
     assert {"train", "valid"} <= kinds
 
 
+def test_diagnostics_run_in_background(tmp_path):
+    """Held-out diagnostics are off the training critical path
+    (reference train_dnn.py:429-460 background_command): iteration N+1
+    must START TRAINING while iteration N's valid evaluation is still
+    running, and every iteration must still get its valid record."""
+    import threading
+    import time as timemod
+
+    tr = _mk_trainer(tmp_path, num_epochs=1)
+    batches = _synthetic_batches(num_batches=2)
+    events = []
+    lock = threading.Lock()
+
+    def note(kind, it):
+        with lock:
+            events.append((kind, it, timemod.monotonic()))
+
+    def archive_fn(i):
+        note("train_start", i)
+        return iter(batches)
+
+    diag_it = iter(range(100))
+
+    def valid_fn():
+        it = next(diag_it)
+        note("diag_start", it)
+        timemod.sleep(2.0)        # make the eval slow enough to overlap
+        yield from batches[:1]
+        note("diag_end", it)
+
+    final = tr.train(archive_fn, num_archives=3, valid_batches=valid_fn)
+    assert final == 3
+    times = {(k, i): t for k, i, t in events}
+    # iteration 1 began training before iteration 0's diagnostics ended
+    assert times[("train_start", 1)] < times[("diag_end", 0)]
+    lines = [json.loads(l) for l in
+             open(os.path.join(tr.work_dir, "metrics.jsonl"))]
+    valid_iters = sorted(l["iteration"] for l in lines
+                         if l["kind"] == "valid")
+    assert valid_iters == [0, 1, 2]
+
+
+def test_background_diagnostics_failure_surfaces(tmp_path):
+    """A crashing diagnostics pass must fail the run, not vanish into
+    the worker thread (the reference's background_command interrupts the
+    main thread on a required command's failure, ze_utils.py:197-210)."""
+    tr = _mk_trainer(tmp_path, num_epochs=1)
+    batches = _synthetic_batches(num_batches=2)
+
+    def bad_valid():
+        raise RuntimeError("diagnostics exploded")
+        yield  # pragma: no cover
+
+    with pytest.raises(RuntimeError, match="diagnostics exploded"):
+        tr.train(lambda i: iter(batches), num_archives=2,
+                 valid_batches=bad_valid)
+
+
 def test_resume_skips_completed_iterations(tmp_path):
     batches = _synthetic_batches(num_batches=2)
     tr = _mk_trainer(tmp_path, num_epochs=1)

@@ -258,6 +258,8 @@ class Trainer:
             raise ValueError(f"unknown spmd_step {cfg.spmd_step!r}")
         self._eval_fn = make_eval_step(self.model_cfg, cfg)
         self._metrics_path = os.path.join(work_dir, "metrics.jsonl")
+        import threading
+        self._log_lock = threading.Lock()   # train + diagnostics threads
         self._dropout_points = schedules.parse_dropout_schedule(
             cfg.dropout_schedule)
 
@@ -301,8 +303,12 @@ class Trainer:
 
     # -- metrics -----------------------------------------------------------
     def _log(self, record: Dict[str, Any]):
+        # multi-controller with a SHARED work dir: stats are global, so
+        # one writer (the coordinator) owns metrics.jsonl
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         record["time"] = time.time()
-        with open(self._metrics_path, "a") as f:
+        with self._log_lock, open(self._metrics_path, "a") as f:
             f.write(json.dumps(record, default=str) + "\n")
 
     # -- core loops --------------------------------------------------------
@@ -408,13 +414,20 @@ class Trainer:
                 "accuracy": tot_acc / max(n, 1),
                 "minibatches": n, **timer.summary()}
 
-    def evaluate(self, batches: Iterable) -> Dict[str, float]:
+    def evaluate(self, batches: Iterable, params=None,
+                 state=None) -> Dict[str, float]:
+        """Loss/accuracy over ``batches``.  ``params``/``state`` override
+        the live training pytrees — the background-diagnostics path passes
+        snapshots so the next iteration's donated buffers can't be read
+        from under the eval."""
+        params = self.params if params is None else params
+        state = self.state if state is None else state
         bs = meshlib.batch_sharding(self.mesh)
         tot_loss = tot_acc = tot_w = 0.0
         for feats, labels, true_len in batches:
             feats, labels, n_rows = self._pad_rows(feats, labels)
             loss, acc = self._eval_fn(
-                self.params, self.state, meshlib.put_batch(feats, bs),
+                params, state, meshlib.put_batch(feats, bs),
                 meshlib.put_batch(labels, bs), jnp.int32(true_len),
                 jnp.int32(n_rows))
             tot_loss += float(loss) * n_rows
@@ -443,9 +456,46 @@ class Trainer:
         rerun resumes bit-identically.
         """
         from .preemption import PreemptedError
+        import concurrent.futures as cf
         cfg = self.cfg
         num_iters = cfg.num_epochs * num_archives
         to_process = cfg.num_epochs * num_archives
+
+        # Held-out diagnostics run OFF the training critical path (the
+        # reference backgrounds them per iteration,
+        # train_dnn.py:429-460 background_command): a device-side snapshot
+        # of params/state is taken — the next iteration's donated step
+        # buffers can't be read from under the eval — and a single worker
+        # thread evaluates while iteration it+1 trains.  Multi-controller
+        # runs evaluate inline instead: every process must issue global
+        # computations in the same order, which a background thread's
+        # timing cannot guarantee.
+        has_diag = (valid_batches is not None
+                    or train_subset_batches is not None)
+        background = has_diag and jax.process_count() == 1
+        diag_ex = cf.ThreadPoolExecutor(max_workers=1) if background \
+            else None
+        diag_futures: List[cf.Future] = []
+
+        def run_diag(it: int, params, state):
+            if valid_batches is not None:
+                v = self.evaluate(valid_batches(), params=params,
+                                  state=state)
+                self._log({"iteration": it, "kind": "valid", **v})
+            if train_subset_batches is not None:
+                v = self.evaluate(train_subset_batches(), params=params,
+                                  state=state)
+                self._log({"iteration": it, "kind": "train_subset", **v})
+
+        def submit_diag(it: int):
+            if not has_diag:
+                return
+            if diag_ex is None:
+                run_diag(it, self.params, self.state)
+                return
+            p = jax.tree.map(jnp.copy, self.params)
+            s = jax.tree.map(jnp.copy, self.state)
+            diag_futures.append(diag_ex.submit(run_diag, it, p, s))
 
         combine_set: List[int] = []
         if cfg.final_combine:
@@ -463,6 +513,31 @@ class Trainer:
             checkpoints.save_iteration(self, 0)
 
         stop_check = preemption if callable(preemption) else None
+        try:
+            final_it = self._train_loop(
+                start_iter, num_iters, to_process, num_archives,
+                archive_batches, submit_diag, stop_check, combine_set)
+        finally:
+            if diag_ex is not None:
+                diag_ex.shutdown(wait=True)
+            for f in diag_futures:
+                f.result()     # surface background-diagnostics failures
+        if final_it < num_iters:          # preempted
+            return final_it
+        if combine_set:
+            self._final_combine(combine_set,
+                                train_subset_batches or valid_batches)
+        else:
+            checkpoints.mark_final(self.work_dir, num_iters)
+        return num_iters
+
+    def _train_loop(self, start_iter: int, num_iters: int, to_process: int,
+                    num_archives: int, archive_batches, submit_diag,
+                    stop_check, combine_set) -> int:
+        """The per-iteration scheduler loop; returns the number of
+        completed iterations (== num_iters unless preempted)."""
+        from .preemption import PreemptedError
+        cfg = self.cfg
         for it in range(start_iter, num_iters):
             if stop_check is not None and stop_check():
                 self._log({"iteration": it, "kind": "preempted",
@@ -510,21 +585,11 @@ class Trainer:
             stats.update(iteration=it, lr=lr, dropout=drop,
                          seconds=time.monotonic() - t0, kind="train")
             self._log(stats)
-            if valid_batches is not None:
-                v = self.evaluate(valid_batches())
-                self._log({"iteration": it, "kind": "valid", **v})
-            if train_subset_batches is not None:
-                v = self.evaluate(train_subset_batches())
-                self._log({"iteration": it, "kind": "train_subset", **v})
+            submit_diag(it)
             checkpoints.save_iteration(self, it + 1)
             checkpoints.collect_garbage(
                 self.work_dir, it + 1, cfg.preserve_model_interval,
                 keep=combine_set)
-        if combine_set:
-            self._final_combine(combine_set,
-                                train_subset_batches or valid_batches)
-        else:
-            checkpoints.mark_final(self.work_dir, num_iters)
         return num_iters
 
     def _final_combine(self, combine_set: List[int], batches_fn):

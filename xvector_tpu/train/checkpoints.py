@@ -16,10 +16,26 @@ import os
 import shutil
 from typing import TYPE_CHECKING
 
+import jax
 import orbax.checkpoint as ocp
 
 if TYPE_CHECKING:
     from .trainer import Trainer
+
+
+def _is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def _sync(tag: str):
+    """Cross-process barrier (no-op single-controller).  Multi-controller
+    save/restore into a SHARED work dir needs (a) the coordinator's
+    directory mutations ordered against every process's collective orbax
+    call, and (b) the ``done`` sentinel visible everywhere before anyone
+    proceeds past the iteration boundary."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"xvec_ckpt_{tag}")
 
 __all__ = ["save_iteration", "restore_latest", "restore_into",
            "collect_garbage", "mark_final", "iteration_dirs",
@@ -78,16 +94,24 @@ def is_complete(path: str) -> bool:
 
 
 def save_iteration(trainer: "Trainer", it: int):
+    """Collective under multi-controller: every process calls this at the
+    same loop point with the same SHARED work dir; orbax writes each
+    process's array shards, the coordinator owns directory mutations and
+    the ``done`` sentinel."""
     d = _iter_dir(trainer.work_dir, it)
     ckpt = os.path.join(d, "ckpt")
-    if os.path.exists(ckpt):
+    if _is_coordinator() and os.path.exists(ckpt):
         shutil.rmtree(ckpt)
+    _sync(f"pre_save_{it}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt, {"params": trainer.params,
                           "state": trainer.state,
                           "opt_state": trainer.opt_state})
-    with open(os.path.join(d, "done"), "w") as f:
-        f.write("done\n")
+    _sync(f"post_save_{it}")
+    if _is_coordinator():
+        with open(os.path.join(d, "done"), "w") as f:
+            f.write("done\n")
+    _sync(f"post_done_{it}")
 
 
 def restore_into(trainer: "Trainer", path: str):
@@ -158,6 +182,8 @@ def collect_garbage(work_dir: str, current_iter: int,
     """Keep the last two iterations + every preserve_interval-th
     (ze_utils.py:186-194) + explicit ``keep`` iterations (the combination
     candidate set, train_dnn.py:565-567)."""
+    if not _is_coordinator():     # shared work dir: one deleter
+        return
     keep = set(keep)
     for it, path in iteration_dirs(work_dir):
         if it >= current_iter - 1 or it in keep:
@@ -173,6 +199,8 @@ def mark_final(work_dir: str, final_iter):
     link = os.path.join(work_dir, "model_final")
     target = (f"model_{final_iter}" if isinstance(final_iter, int)
               else final_iter)
-    if os.path.islink(link) or os.path.exists(link):
-        os.remove(link)
-    os.symlink(target, link)
+    if _is_coordinator():
+        if os.path.islink(link) or os.path.exists(link):
+            os.remove(link)
+        os.symlink(target, link)
+    _sync("mark_final")

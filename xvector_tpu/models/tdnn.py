@@ -368,16 +368,30 @@ def stats_pooling(h, mask=None, eps: float = VAR2STD_EPSILON):
 
 def attention_pooling(h, att: Params, mask=None, eps: float = VAR2STD_EPSILON):
     """Self-attentive pooling (models.py:1039-1051): split channels in two,
-    scores from h1, attention-weighted mean/std of h2."""
-    h = h.astype(jnp.float32)
+    scores from h1, attention-weighted mean/std of h2.
+
+    Runs in the incoming compute dtype with f32 MXU accumulation
+    (``preferred_element_type``) — the earlier ``h.astype(f32)`` up-cast
+    materialised the (B, T, 6·512) pre-pooling activation in f32, ~240 MB
+    of HBM round-trip per direction at the recipe working point, and was
+    the main reason the attention variant ran at 49% of the flagship's
+    throughput (BENCH_r02).  Softmax statistics stay f32."""
     half = h.shape[-1] // 2
     h1, h2 = h[..., :half], h[..., half:]
-    scores = jnp.tanh(h1 @ att["w"] + att["b"]) @ att["v"]   # (B, T)
+    pre = jnp.dot(h1, att["w"].astype(h.dtype),
+                  preferred_element_type=jnp.float32) + att["b"]
+    scores = jnp.dot(jnp.tanh(pre).astype(h.dtype),
+                     att["v"].astype(h.dtype),
+                     preferred_element_type=jnp.float32)        # (B, T)
     if mask is not None:
         scores = jnp.where(mask[..., 0] > 0, scores, -1e30)
-    alpha = jax.nn.softmax(scores, axis=1)
-    mean = jnp.einsum("btc,bt->bc", h2, alpha)
-    var = jnp.einsum("btc,bt->bc", jnp.square(h2), alpha) - jnp.square(mean)
+    alpha = jax.nn.softmax(scores, axis=1)                      # f32
+    a = alpha.astype(h.dtype)
+    mean = jnp.einsum("btc,bt->bc", h2, a,
+                      preferred_element_type=jnp.float32)
+    ex2 = jnp.einsum("btc,btc,bt->bc", h2, h2, a,
+                     preferred_element_type=jnp.float32)
+    var = ex2 - jnp.square(mean)
     return jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0) + eps)],
                            axis=-1)
 

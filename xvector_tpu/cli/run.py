@@ -72,6 +72,10 @@ class RecipeConfig:
 
 class Recipe:
     def __init__(self, cfg: RecipeConfig):
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()   # featurization compiles are big; a
+        # killed/restarted run must not pay them again (Trainer enables
+        # the cache too, but features run before any Trainer exists)
         self.cfg = cfg
         # augmented-utt → clean-utt map filled by augment(); consumed by
         # make_features for clean-VAD inheritance (exact, not name-based)

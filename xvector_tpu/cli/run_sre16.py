@@ -169,6 +169,14 @@ def main(argv=None):
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--lda-dim", type=int, default=100)   # run.sh:28
     ap.add_argument("--extract-from-wav", action="store_true")
+    ap.add_argument("--do-final-combination", action="store_true",
+                    help="optimize a convex combination of the last "
+                         "iterations' checkpoints on the diagnostics "
+                         "subset (working version of the reference's "
+                         "disabled combination, train_dnn.py:571-581)")
+    ap.add_argument("--preserve-model-interval", type=int, default=10,
+                    help="checkpoint GC keeps every Nth iteration "
+                         "(run_xvector.sh:106)")
     ap.add_argument("--stream-egs", action="store_true",
                     help="skip .xta materialisation; training streams "
                          "minibatches from the egs feature ark through "
@@ -209,7 +217,10 @@ def main(argv=None):
             frames_per_iter=int(args.frames_per_iter)),
         train=TrainConfig(model=args.model, num_targets=1,
                           num_epochs=args.num_epochs,
-                          compute_dtype=args.compute_dtype),
+                          compute_dtype=args.compute_dtype,
+                          final_combine=args.do_final_combination,
+                          preserve_model_interval=
+                          args.preserve_model_interval),
         extractor=ExtractorConfig(min_chunk=25, max_chunk=10000,
                                   batch_size=16,
                                   compute_dtype=args.compute_dtype),

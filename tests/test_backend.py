@@ -252,3 +252,92 @@ def test_score_trials_num_utts_changes_llr():
     # and the multi-enroll normalisation must not hurt separation
     labels = np.array([1 if t == f"t{s}" else 0 for s, t in trials])
     assert M.eer(with_n, labels) <= M.eer(base, labels) + 0.02
+
+
+def test_plda_em_recovers_generative_covariances():
+    """Implementation-independent EM check (PARITY.md K15 open risk): data
+    sampled from a KNOWN two-covariance model — speaker means ~ N(mu, B),
+    observations ~ N(z_spk, W) — must yield a trained Plda whose
+    diagonalised form implies those covariances: with transform T and psi,
+    the model states T W Tᵀ = I and T B Tᵀ = diag(psi), so inverting T
+    must recover W and B."""
+    from xvector_tpu.backend import plda as P
+
+    rng = np.random.RandomState(3)
+    dim, n_spk, n_utt = 8, 600, 10
+
+    def rand_spd(scale):
+        q, _ = np.linalg.qr(rng.randn(dim, dim))
+        return (q * (scale * rng.uniform(0.5, 2.0, dim))) @ q.T
+
+    B = rand_spd(2.0)           # between-speaker covariance
+    W = rand_spd(0.5)           # within-speaker covariance
+    mu = rng.randn(dim) * 3
+    cb, cw = np.linalg.cholesky(B), np.linalg.cholesky(W)
+    grouped = {}
+    for s in range(n_spk):
+        z = mu + cb @ rng.randn(dim)
+        grouped[f"s{s}"] = z + (cw @ rng.randn(dim, n_utt)).T
+    model = P.train_plda(grouped, num_em_iters=15)
+
+    t_inv = np.linalg.inv(model.transform)
+    w_hat = t_inv @ t_inv.T                       # T W Tᵀ = I
+    b_hat = t_inv @ np.diag(model.psi) @ t_inv.T  # T B Tᵀ = diag(psi)
+    # estimation error with 600 speakers: ~O(1/sqrt(n)) per entry
+    assert np.abs(w_hat - W).max() < 0.15 * np.abs(W).max()
+    assert np.abs(b_hat - B).max() < 0.15 * np.abs(B).max()
+    assert np.abs(model.mean - mu).max() < 0.2
+
+
+def test_plda_llr_matches_analytic_optimum():
+    """Scoring-math check against a formula this codebase does not use:
+    for the true generative model, the same/different-speaker LLR of a
+    single-enroll trial is the log-ratio of two explicit Gaussians over
+    the stacked pair [x1; x2].  The core Plda.llr on plainly-transformed
+    vectors (no Kaldi length normalisation, which deliberately deviates
+    from the plain Gaussian ratio) must agree up to estimation error."""
+    from xvector_tpu.backend import plda as P
+
+    rng = np.random.RandomState(4)
+    dim, n_spk, n_utt = 6, 800, 8
+    B = np.diag(rng.uniform(1.0, 3.0, dim))
+    W = np.diag(rng.uniform(0.3, 0.8, dim))
+    cb, cw = np.sqrt(np.diag(B)), np.sqrt(np.diag(W))
+    grouped = {f"s{s}": (mu_s := cb * rng.randn(dim))
+               + cw * rng.randn(n_utt, dim)
+               for s in range(n_spk)}
+    model = P.train_plda(grouped, num_em_iters=15)
+
+    # analytic LLR from the TRUE covariances
+    def analytic_llr(x1, x2):
+        tot = B + W
+        same = np.block([[tot, B], [B, tot]])
+        diff = np.block([[tot, np.zeros_like(B)], [np.zeros_like(B), tot]])
+        v = np.concatenate([x1, x2])
+
+        def logpdf(cov):
+            sign, logdet = np.linalg.slogdet(cov)
+            return -0.5 * (logdet + v @ np.linalg.solve(cov, v))
+
+        return logpdf(same) - logpdf(diff)
+
+    e_raw, t_raw, analytic = [], [], []
+    for i in range(200):
+        same = i % 2 == 0
+        z1 = cb * rng.randn(dim)
+        x1 = z1 + cw * rng.randn(dim)
+        z2 = z1 if same else cb * rng.randn(dim)
+        x2 = z2 + cw * rng.randn(dim)
+        e_raw.append(x1)
+        t_raw.append(x2)
+        analytic.append(analytic_llr(x1, x2))
+    # plain change of variables into the diagonalised space (projection
+    # WITHOUT the length-normalisation factor)
+    u_e = (np.stack(e_raw) - model.mean) @ model.transform.T
+    u_t = (np.stack(t_raw) - model.mean) @ model.transform.T
+    llr = model.llr(u_e, u_t, 1)
+    analytic = np.asarray(analytic)
+    corr = np.corrcoef(llr, analytic)[0, 1]
+    assert corr > 0.995, corr
+    # absolute agreement too, not just rank order
+    assert np.abs(llr - analytic).mean() < 0.15 * np.abs(analytic).mean()

@@ -614,6 +614,19 @@ class Trainer:
         for feats, labels, true_len in batches_fn():
             feats, labels, n_rows = self._pad_rows(feats, labels)
             batches.append((feats, labels, true_len, n_rows))
+        # pad every minibatch to ONE (B, T) shape: the combination step's
+        # jit would otherwise recompile per length bucket, and each
+        # compile of the N-model stacked grad graph costs minutes on
+        # remote-compile transports; masks built from true_len make the
+        # padding exact
+        if batches:
+            b_max = max(f.shape[0] for f, *_ in batches)
+            t_max = max(f.shape[1] for f, *_ in batches)
+            batches = [
+                (np.pad(f, ((0, b_max - f.shape[0]),
+                            (0, t_max - f.shape[1]), (0, 0))),
+                 np.pad(l, (0, b_max - l.shape[0])), t, r)
+                for f, l, t, r in batches]
         params, state, info = combinelib.optimize_combination(
             self.model_cfg, params_list, state_list, batches,
             compute_dtype=jnp.dtype(self.cfg.compute_dtype),

@@ -179,7 +179,7 @@ def run_variant(corpus: str, work: str, stream: bool,
         "--frames-per-iter", str(frames_per_iter),
         "--min-chunk", "200", "--max-chunk", "400",
         "--minibatch-size", "64", "--num-repeats", "35",
-        "--do-final-combination",
+        "--do-final-combination", "--max-models-combine", "8",
         "--compute-dtype", "bfloat16", "--lda-dim", "100",
     ]
     if stream:

@@ -177,6 +177,9 @@ def main(argv=None):
     ap.add_argument("--preserve-model-interval", type=int, default=10,
                     help="checkpoint GC keeps every Nth iteration "
                          "(run_xvector.sh:106)")
+    ap.add_argument("--max-models-combine", type=int, default=20,
+                    help="combination candidate-set cap "
+                         "(ze_utils.py:76)")
     ap.add_argument("--stream-egs", action="store_true",
                     help="skip .xta materialisation; training streams "
                          "minibatches from the egs feature ark through "
@@ -219,6 +222,7 @@ def main(argv=None):
                           num_epochs=args.num_epochs,
                           compute_dtype=args.compute_dtype,
                           final_combine=args.do_final_combination,
+                          max_models_combine=args.max_models_combine,
                           preserve_model_interval=
                           args.preserve_model_interval),
         extractor=ExtractorConfig(min_chunk=25, max_chunk=10000,

@@ -129,12 +129,17 @@ def restore_into(trainer: "Trainer", path: str):
 
 def load_pytrees(trainer: "Trainer", path: str):
     """Read a checkpoint's (params, state) WITHOUT mutating the trainer —
-    used by final combination to gather candidate models."""
+    used by final combination to gather candidate models.
+
+    Partial restore: the Adam state is ~2/3 of every checkpoint's bytes
+    and the combination never reads it — skipping it keeps the
+    20-candidate gather from moving ~1 GB over slow host↔device links."""
     ckpt = os.path.join(path, "ckpt")
-    with ocp.StandardCheckpointer() as ckptr:
-        target = {"params": trainer.params, "state": trainer.state,
-                  "opt_state": trainer.opt_state}
-        restored = ckptr.restore(ckpt, target)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            ckpt, args=ocp.args.PyTreeRestore(
+                item={"params": trainer.params, "state": trainer.state},
+                partial_restore=True))
     return restored["params"], restored["state"]
 
 

@@ -89,12 +89,15 @@ def optimize_combination(model_cfg: tdnn.TdnnConfig,
     dev_batches = [(jnp.asarray(f), jnp.asarray(l), jnp.int32(t),
                     jnp.int32(r)) for f, l, t, r in batches]
 
-    def model_loss(logits_w, feats, labels, t_len, n_rows):
+    # p/s_stacked are explicit jit ARGUMENTS everywhere below: a
+    # closed-over device array is embedded as a CONSTANT in the lowered
+    # HLO, and shipping ~20 models x ~18 MB of weights inside the compile
+    # request breaks remote-compile transports (observed HTTP 413 /
+    # multi-ten-minute compile uploads)
+    def model_loss(logits_w, ps, ss, feats, labels, t_len, n_rows):
         w = jax.nn.softmax(logits_w)
-        params = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1),
-                              p_stacked)
-        state = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1),
-                             s_stacked)
+        params = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), ps)
+        state = jax.tree.map(lambda s: jnp.tensordot(w, s, axes=1), ss)
         b, t = feats.shape[:2]
         frame_ids = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
         mask = (frame_ids < t_len).astype(jnp.float32)
@@ -108,16 +111,19 @@ def optimize_combination(model_cfg: tdnn.TdnnConfig,
     opt = optax.adam(lr)
 
     @jax.jit
-    def step(logits_w, opt_state, feats, labels, t_len, n_rows):
+    def step(logits_w, opt_state, ps, ss, feats, labels, t_len, n_rows):
         (loss, acc), g = jax.value_and_grad(model_loss, has_aux=True)(
-            logits_w, feats, labels, t_len, n_rows)
+            logits_w, ps, ss, feats, labels, t_len, n_rows)
         updates, opt_state = opt.update(g, opt_state, logits_w)
         return optax.apply_updates(logits_w, updates), opt_state, loss, acc
 
-    eval_loss = jax.jit(lambda lw, f, l, t, r: model_loss(lw, f, l, t, r)[0])
+    eval_loss = jax.jit(
+        lambda lw, ps, ss, f, l, t, r: model_loss(lw, ps, ss, f, l,
+                                                  t, r)[0])
 
     def total_loss(lw):
-        return float(np.mean([float(eval_loss(lw, *fb))
+        return float(np.mean([float(eval_loss(lw, p_stacked, s_stacked,
+                                              *fb))
                               for fb in dev_batches]))
 
     # start biased toward the newest model so the search begins near the
@@ -132,7 +138,8 @@ def optimize_combination(model_cfg: tdnn.TdnnConfig,
         for fb in dev_batches:
             if i >= steps:
                 break
-            logits_w, opt_state, loss, acc = step(logits_w, opt_state, *fb)
+            logits_w, opt_state, loss, acc = step(
+                logits_w, opt_state, p_stacked, s_stacked, *fb)
             i += 1
     combined_loss = total_loss(logits_w)
     # never worse than the final model on the combination data — Kaldi's

@@ -100,8 +100,7 @@ def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
     cfg = TrainConfig(model=model, num_targets=NUM_SPEAKERS,
                       compute_dtype="bfloat16", block_size=block,
                       head=head,
-                      fused_conv_bwd=(jax.default_backend() == "tpu"
-                                      and model == "no_dropout"))
+                      fused_conv_bwd=jax.default_backend() == "tpu")
     model_cfg = tdnn.MODEL_ZOO[model]
     params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg,
                                      NUM_SPEAKERS)
@@ -197,6 +196,39 @@ def bench_extract_wave(jax, jnp):
     return n_utt / best, n_utt * dur_s / best
 
 
+def bench_extract_wave_device(jax, jnp):
+    """Device-resident wave→x-vector: the fused MFCC+VAD+CMVN+compaction+
+    TDNN program alone, int16 waveforms pre-staged on device — separates
+    regressions of the compiled program from the tunnel transport ceiling
+    that bounds ``bench_extract_wave`` (~55 MB/s host link)."""
+    from xvector_tpu.extract.extractor import (WaveExtractor,
+                                               WaveExtractorConfig,
+                                               pack_wave_batch)
+    from xvector_tpu.models import tdnn
+    model_cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg, 512)
+    wex = WaveExtractor(model_cfg, params, state,
+                        WaveExtractorConfig(batch_size=32))
+    b, dur_s, sr = 32, 8, 8000
+    rng = np.random.RandomState(0)
+    items = [(f"u{i}", (rng.randn(dur_s * sr) * 2000).astype(np.float32))
+             for i in range(b)]
+    waves, lens = pack_wave_batch(items, dur_s * sr, b)
+    waves_d, lens_d = jnp.asarray(waves), jnp.asarray(lens)
+
+    xv, _ = wex._fn(params, state, waves_d, lens_d, None)
+    np.asarray(xv)
+    calls = 16
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            xv, _ = wex._fn(params, state, waves_d, lens_d, None)
+        np.asarray(xv)
+        best = min(best, (time.perf_counter() - t0) / calls)
+    return b / best
+
+
 def bench_extract(jax, jnp):
     """Batched extraction forward: N batches per dispatch (scan) AND
     several pipelined dispatches per host sync.  Each dispatch costs
@@ -244,6 +276,7 @@ def main():
     variants = bench_variants(jax, jnp)
     feat_tp = bench_features(jax, jnp)
     wave_emb_s, wave_audio_s = bench_extract_wave(jax, jnp)
+    wave_dev_emb_s = bench_extract_wave_device(jax, jnp)
 
     if os.path.exists(BASELINE_FILE):
         baseline = json.load(open(BASELINE_FILE))["value"]
@@ -263,6 +296,8 @@ def main():
         "extract_embeddings_per_s": round(extract_tp, 1),
         "extract_from_wav_embeddings_per_s": round(wave_emb_s, 1),
         "extract_from_wav_audio_s_per_s": round(wave_audio_s, 1),
+        "extract_from_wav_device_embeddings_per_s": round(wave_dev_emb_s,
+                                                          1),
         "features_audio_s_per_s": round(feat_tp, 1),
         **variants,
         "device": device,

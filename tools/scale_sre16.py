@@ -194,7 +194,20 @@ def run_variant(corpus: str, work: str, stream: bool,
     valid = [m for m in metrics if m["kind"] == "valid"]
     kept = sorted(int(n[6:]) for n in os.listdir(os.path.join(work, "exp"))
                   if n.startswith("model_") and n[6:].isdigit())
+    # GC keep-set: every iteration the policy REQUIRES must be present —
+    # the last two, preserve-interval multiples, and the combination
+    # candidate set.  Extra checkpoints can legitimately remain from an
+    # interrupted earlier invocation with a different candidate cap (GC
+    # never re-deletes), so they are recorded, not asserted away.
+    from xvector_tpu.train.combine import combine_iterations
+    n_iter = len(train_loss)
+    expected = {it for it in range(0, n_iter + 1)
+                if it >= n_iter - 1 or it % 10 == 0}
+    expected |= set(combine_iterations(n_iter, info["num_archives"], 8))
+    missing = expected - set(kept)
+    assert not missing, f"GC deleted required checkpoints: {missing}"
     return {"wall_s": round(wall, 1), "stream": stream,
+            "gc_extra_kept": sorted(set(kept) - expected),
             "num_archives": info["num_archives"],
             "num_iterations": len(train_loss),
             "first_loss": train_loss[0], "final_loss": train_loss[-1],

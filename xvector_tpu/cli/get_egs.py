@@ -46,7 +46,9 @@ def get_args(argv=None):
                    help="false = geometric deterministic ladder "
                         "(create_egs.py:223-231)")
     p.add_argument("--min-utt-frames", type=int, default=0,
-                   help="drop shorter utterances before allocation")
+                   help="drop utterances with <= this many voiced frames "
+                        "before allocation (strict '>', the run.sh:199 "
+                        "awk semantics)")
     p.add_argument("--min-spk-utts", type=int, default=1)
     p.add_argument("data_dir")
     p.add_argument("egs_dir")

@@ -220,7 +220,22 @@ def _spawn_pair(work: str, phase: int, timeout: int = 420):
         [sys.executable, worker, str(port), str(pid), work, str(phase)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in (0, 1)]
-    outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout)[0].decode())
+    except subprocess.TimeoutExpired:
+        # one worker died mid-collective and its peer is blocked in a
+        # gloo barrier: kill BOTH (else they leak holding the port and
+        # work dir) and report every worker's output, not just the
+        # hung one's silence
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        tails = [p.communicate()[0].decode()[-2000:] for p in procs]
+        raise RuntimeError(
+            f"mc_harness phase-{phase} timed out after {timeout}s; "
+            "worker outputs:\n" + "\n--- next worker ---\n".join(tails))
     for p, o in zip(procs, outs):
         if p.returncode != 0:
             raise RuntimeError(

@@ -145,17 +145,23 @@ def load_pytrees(trainer: "Trainer", path: str):
 
 def save_named(trainer: "Trainer", name: str):
     """Save the trainer's live pytrees under ``<work_dir>/<name>`` with the
-    same layout as iteration checkpoints (restorable by restore_into)."""
+    same layout as iteration checkpoints (restorable by restore_into).
+    Collective under multi-controller, with the same coordinator-owned
+    directory mutations and barriers as :func:`save_iteration`."""
     d = os.path.join(os.path.abspath(trainer.work_dir), name)
     ckpt = os.path.join(d, "ckpt")
-    if os.path.exists(ckpt):
+    if _is_coordinator() and os.path.exists(ckpt):
         shutil.rmtree(ckpt)
+    _sync(f"pre_save_{name}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt, {"params": trainer.params,
                           "state": trainer.state,
                           "opt_state": trainer.opt_state})
-    with open(os.path.join(d, "done"), "w") as f:
-        f.write("done\n")
+    _sync(f"post_save_{name}")
+    if _is_coordinator():
+        with open(os.path.join(d, "done"), "w") as f:
+            f.write("done\n")
+    _sync(f"post_done_{name}")
     return d
 
 

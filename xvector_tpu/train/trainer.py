@@ -301,12 +301,22 @@ class Trainer:
         # valid-row count of the GLOBAL batch (local rows on every host)
         return feats, labels, n * jax.process_count()
 
+    # process-LOCAL record kinds: these describe ONE controller's view
+    # (its device failed, it retried, it was preempted mid-iteration) and
+    # must be written by whichever process they happen on
+    _LOCAL_KINDS = ("retry", "forensics", "preempted")
+
     # -- metrics -----------------------------------------------------------
     def _log(self, record: Dict[str, Any]):
-        # multi-controller with a SHARED work dir: stats are global, so
-        # one writer (the coordinator) owns metrics.jsonl
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            return
+        # multi-controller with a SHARED work dir: global stats get one
+        # writer (the coordinator); process-local records (retry,
+        # forensics, preemption) are written by their own process with a
+        # process tag — O_APPEND keeps the small lines intact
+        if jax.process_count() > 1:
+            if jax.process_index() != 0 \
+                    and record.get("kind") not in self._LOCAL_KINDS:
+                return
+            record["process"] = jax.process_index()
         record["time"] = time.time()
         with self._log_lock, open(self._metrics_path, "a") as f:
             f.write(json.dumps(record, default=str) + "\n")
@@ -487,12 +497,23 @@ class Trainer:
                                   state=state)
                 self._log({"iteration": it, "kind": "train_subset", **v})
 
+        def check_diag(wait: bool = False):
+            """Surface background-diagnostics failures PROMPTLY — at the
+            next iteration boundary, not hours later at the end of a long
+            run (the reference's background_command interrupts the main
+            thread on failure, ze_utils.py:197-210)."""
+            for f in list(diag_futures):
+                if wait or f.done():
+                    f.result()
+                    diag_futures.remove(f)
+
         def submit_diag(it: int):
             if not has_diag:
                 return
             if diag_ex is None:
                 run_diag(it, self.params, self.state)
                 return
+            check_diag()
             p = jax.tree.map(jnp.copy, self.params)
             s = jax.tree.map(jnp.copy, self.state)
             diag_futures.append(diag_ex.submit(run_diag, it, p, s))
@@ -518,10 +539,19 @@ class Trainer:
                 start_iter, num_iters, to_process, num_archives,
                 archive_batches, submit_diag, stop_check, combine_set)
         finally:
+            import sys
             if diag_ex is not None:
                 diag_ex.shutdown(wait=True)
-            for f in diag_futures:
-                f.result()     # surface background-diagnostics failures
+            if sys.exc_info()[0] is None:
+                check_diag(wait=True)   # surface diagnostics failures
+            else:
+                # a training exception is already propagating: log any
+                # diagnostics failure instead of MASKING the primary one
+                for f in diag_futures:
+                    exc = f.exception()
+                    if exc is not None:
+                        self._log({"kind": "diag_error",
+                                   "error": repr(exc)})
         if final_it < num_iters:          # preempted
             return final_it
         if combine_set:

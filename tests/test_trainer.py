@@ -133,6 +133,55 @@ def test_background_diagnostics_failure_surfaces(tmp_path):
                  valid_batches=bad_valid)
 
 
+def test_background_diagnostics_failure_is_prompt(tmp_path):
+    """The failure must surface at the NEXT iteration boundary, not after
+    the whole run: iteration 0's broken diagnostics stop a 6-iteration
+    run before it grinds through all six."""
+    tr = _mk_trainer(tmp_path, num_epochs=2)
+    batches = _synthetic_batches(num_batches=2)
+    started = []
+
+    def archive_fn(i):
+        started.append(i)
+        return iter(batches)
+
+    calls = {"n": 0}
+
+    def valid_once_bad():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("first diagnostics pass broke")
+        yield from batches[:1]
+
+    with pytest.raises(RuntimeError, match="first diagnostics"):
+        tr.train(archive_fn, num_archives=3, valid_batches=valid_once_bad)
+    # iteration 0 trained, its diag failed; the failure surfaced when
+    # iteration 1 submitted ITS diagnostics — well before iteration 5
+    assert len(started) <= 2, started
+
+
+def test_diag_error_does_not_mask_training_exception(tmp_path):
+    """When training itself raises, a concurrent diagnostics failure is
+    logged as kind=diag_error instead of replacing the primary error."""
+    tr = _mk_trainer(tmp_path, num_epochs=1)
+    batches = _synthetic_batches(num_batches=2)
+
+    def archive_fn(i):
+        if i == 1:
+            raise ValueError("the data plane fell over")
+        return iter(batches)
+
+    def bad_valid():
+        raise RuntimeError("diagnostics also broke")
+        yield  # pragma: no cover
+
+    with pytest.raises(ValueError, match="data plane fell over"):
+        tr.train(archive_fn, num_archives=2, valid_batches=bad_valid)
+    lines = [json.loads(l) for l in
+             open(os.path.join(tr.work_dir, "metrics.jsonl"))]
+    assert any(l["kind"] == "diag_error" for l in lines)
+
+
 def test_resume_skips_completed_iterations(tmp_path):
     batches = _synthetic_batches(num_batches=2)
     tr = _mk_trainer(tmp_path, num_epochs=1)

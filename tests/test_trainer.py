@@ -81,35 +81,31 @@ def test_diagnostics_run_in_background(tmp_path):
     must START TRAINING while iteration N's valid evaluation is still
     running, and every iteration must still get its valid record."""
     import threading
-    import time as timemod
 
     tr = _mk_trainer(tmp_path, num_epochs=1)
     batches = _synthetic_batches(num_batches=2)
-    events = []
-    lock = threading.Lock()
-
-    def note(kind, it):
-        with lock:
-            events.append((kind, it, timemod.monotonic()))
+    iter1_started = threading.Event()
 
     def archive_fn(i):
-        note("train_start", i)
+        if i == 1:
+            iter1_started.set()
         return iter(batches)
 
     diag_it = iter(range(100))
 
     def valid_fn():
         it = next(diag_it)
-        note("diag_start", it)
-        timemod.sleep(2.0)        # make the eval slow enough to overlap
+        if it == 0:
+            # deterministic overlap proof: iteration 0's diagnostics
+            # BLOCK until iteration 1 starts training.  If diagnostics
+            # ran inline on the training thread this would deadlock —
+            # the timeout turns that into a clean failure.
+            assert iter1_started.wait(timeout=120), \
+                "iteration 1 never started while diag 0 was running"
         yield from batches[:1]
-        note("diag_end", it)
 
     final = tr.train(archive_fn, num_archives=3, valid_batches=valid_fn)
     assert final == 3
-    times = {(k, i): t for k, i, t in events}
-    # iteration 1 began training before iteration 0's diagnostics ended
-    assert times[("train_start", 1)] < times[("diag_end", 0)]
     lines = [json.loads(l) for l in
              open(os.path.join(tr.work_dir, "metrics.jsonl"))]
     valid_iters = sorted(l["iteration"] for l in lines

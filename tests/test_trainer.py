@@ -328,3 +328,18 @@ def test_combine_candidates_survive_gc(tmp_path):
     have = {it for it, p in C.iteration_dirs(tr.work_dir)
             if C.is_complete(p)}
     assert set(want) <= have
+
+
+def test_bf16_adam_moments_trains(tmp_path):
+    """Opt-in bf16 first-moment Adam (mu_dtype) still cuts the loss and
+    stores mu in bf16."""
+    tr = _mk_trainer(tmp_path, adam_moments_dtype="bfloat16")
+    batches = _synthetic_batches()
+    first = tr.train_one_iteration(0, iter(batches), lr=1e-3, dropout=0.0,
+                                   shrink=1.0)
+    for it in range(1, 4):
+        last = tr.train_one_iteration(it, iter(batches), lr=1e-3,
+                                      dropout=0.0, shrink=1.0)
+    assert last["loss"] < first["loss"]
+    mu = tr.opt_state.inner_state[0].mu
+    assert str(jax.tree.leaves(mu)[0].dtype) == "bfloat16"

@@ -68,6 +68,10 @@ class TrainConfig:
     optimizer: str = "adam"                # adam (reference) | sgd
     momentum: float = 0.5                  # used by sgd (run_xvector.sh:96
     #                                        passes 0.5; dead under Adam)
+    adam_moments_dtype: str = "float32"    # "bfloat16" stores Adam's
+    # FIRST moment in bf16 (optax mu_dtype; the variance stays f32),
+    # trimming optimiser HBM traffic.  Default f32 for strict reference
+    # parity (models.py:518 AdamOptimizer is f32)
     max_iteration_retries: int = 0         # reference retries failed jobs
     # up to 16x with 30 s backoff (train_dnn.py:17,364-397); here a retry
     # restores the previous iteration checkpoint and reruns. Default 0:
@@ -237,7 +241,11 @@ class Trainer:
         # never wires up); lr injected per step so one compilation serves
         # the whole schedule.
         if cfg.optimizer == "adam":
-            self.optimizer = optax.inject_hyperparams(optax.adam)(
+            base = optax.adam
+            if cfg.adam_moments_dtype != "float32":
+                base = functools.partial(
+                    optax.adam, mu_dtype=jnp.dtype(cfg.adam_moments_dtype))
+            self.optimizer = optax.inject_hyperparams(base)(
                 learning_rate=cfg.initial_effective_lrate)
         elif cfg.optimizer == "sgd":
             self.optimizer = optax.inject_hyperparams(

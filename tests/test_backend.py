@@ -341,3 +341,63 @@ def test_plda_llr_matches_analytic_optimum():
     assert corr > 0.995, corr
     # absolute agreement too, not just rank order
     assert np.abs(llr - analytic).mean() < 0.15 * np.abs(analytic).mean()
+
+
+def test_plda_adaptation_improves_under_domain_shift():
+    """The protocol's POINT (run.sh:269-276): unsupervised covariance
+    adaptation to unlabeled in-domain data must IMPROVE EER under domain
+    shift.  Out-of-domain pool in domain A; enroll/test/majors in domain
+    B = A + a shared channel-nuisance subspace (rank 8, ~4x the within
+    variance) + a global mean offset.  Scoring follows the recipe's pipe
+    (majors-mean subtraction, length norm, multi-enroll num_utts).  On
+    round-3's synthetic corpora adaptation DEGRADED by construction
+    (majors shared speakers/domain with eval); this corpus has the real
+    SRE16 structure and adaptation recovers a ~9% OOD EER to <1%."""
+    from xvector_tpu.backend.plda import train_plda, length_normalize
+    from xvector_tpu.backend.metrics import eer as eer_fn
+
+    rng = np.random.RandomState(42)
+    d, w_std, b_std, k = 40, 0.5, 1.0, 8
+
+    def spk_means(n):
+        return rng.randn(n, d) * b_std
+
+    pool = {f"a{i}": m[None] + w_std * rng.randn(10, d)
+            for i, m in enumerate(spk_means(200))}
+    chan = np.linalg.qr(rng.randn(d, k))[0]       # nuisance subspace
+    offset = rng.randn(d) * 0.8
+
+    def dom_b(m, n):
+        return (m[None] + w_std * rng.randn(n, d)
+                + (2.2 * rng.randn(n, k)) @ chan.T + offset[None])
+
+    majors = np.concatenate([dom_b(m, 2) for m in spk_means(150)])
+    enr_means = spk_means(40)
+    enroll = {f"e{i}": dom_b(m, 3) for i, m in enumerate(enr_means)}
+    test = {f"t{i}": dom_b(m, 5) for i, m in enumerate(enr_means)}
+
+    mu = majors.mean(0)
+
+    def proc(v):
+        return length_normalize(v - mu)
+
+    plda = train_plda({s: proc(v) for s, v in pool.items()})
+    trials, labels, e_vecs, t_vecs, nutts = [], [], {}, {}, {}
+    for i in range(40):
+        e_vecs[f"e{i}"] = proc(enroll[f"e{i}"]).mean(0)
+        nutts[f"e{i}"] = 3
+        for j in range(40):
+            for u in range(5):
+                t_vecs.setdefault(f"t{j}_{u}", proc(test[f"t{j}"][u]))
+                trials.append((f"e{i}", f"t{j}_{u}"))
+                labels.append(int(i == j))
+    labels = np.array(labels)
+
+    e_ood = eer_fn(plda.score_trials(e_vecs, t_vecs, trials,
+                                     num_utts=nutts), labels)
+    adapted = plda.adapt(proc(majors))
+    e_ad = eer_fn(adapted.score_trials(e_vecs, t_vecs, trials,
+                                       num_utts=nutts), labels)
+    assert e_ood > 0.05, f"domain shift too weak to demonstrate ({e_ood})"
+    assert e_ad < 0.5 * e_ood, f"adaptation did not help: {e_ad} vs {e_ood}"
+    assert e_ad < 0.03, f"adapted EER out of band: {e_ad}"

@@ -1,0 +1,530 @@
+"""Executed parity against the reference's OWN TF1 implementation.
+
+Every other parity test in this repo compares against builder-authored
+stand-ins (a torch replica, formula oracles).  This module is the ground
+truth: it imports ``/root/reference/local/tf/models.py`` + ``tf_block.py``
+under ``tf.compat.v1`` (TF 2.x ships the full v1 graph API), BUILDS the
+reference's actual graphs, and asserts — per variant — that:
+
+  (a) eval-mode forward logits, the embed-0 pre-activation x-vector
+      readout (models.py:491-498) and the CE loss match our functional
+      JAX model after transferring the reference's initialized weights
+      through the reference h5 naming scheme →
+      ``utils.export.import_reference_h5``;
+  (b) one train-mode forward updates the BN population EMA
+      (tf_block.py:9-28, decay 0.95) to the same statistics, and the
+      train-mode loss (batch-moment BN) matches;
+  (c) the loss gradients w.r.t. every trainable variable match;
+  (d) one optimizer step of ``tf.train.AdamOptimizer`` (models.py:518)
+      matches our ``train.tf_adam`` transform parameter-for-parameter,
+      and the optax.adam epsilon-placement drift is bounded;
+  (e) the chunked-extraction weighted average (models.py:356-432
+      ``make_embedding``, executed against a real ark stream through the
+      reference's own vendored kaldi_io) matches our bucketed masked
+      extractor bit-for-tolerance, including the drop-short-tail rule.
+
+Python-2-era shims required to execute the 2018 reference under py3/TF2
+(semantics-preserving only, documented inline):
+  * ``sys.modules['thread'] = _thread``           (ze_utils.py:10)
+  * ``tf.contrib.layers.xavier_initializer`` → ``tf.glorot_uniform_
+    initializer`` — the same initializer under its modern name;
+  * int coercion of tensor-shape args in ``tf.constant``/``tf.truncated_
+    normal`` — the attention variant computes dims with ``prev_dim /= 2``
+    (models.py:1037), an int under py2 floor semantics and a float under
+    py3; the shim restores the py2 meaning without touching any value.
+
+The reference's own h5 export (``get_models_weights``, models.py:180-214)
+is unrunnable under py3 (``dict.iteritems``, h5py-2 ``.value``); the
+harness reproduces its exact dataset-name set (TRAINABLE_VARIABLES plus
+the scope/mean-variance probe loop of models.py:198-210) when dumping,
+so ``import_reference_h5`` is exercised against the real naming scheme.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from xvector_tpu.io import kaldi_ark  # noqa: E402
+from xvector_tpu.models import heads, tdnn  # noqa: E402
+from xvector_tpu.extract.extractor import (ExtractorConfig,  # noqa: E402
+                                           XvectorExtractor)
+from xvector_tpu.train.tf_adam import tf_adam  # noqa: E402
+from xvector_tpu.utils.export import import_reference_h5  # noqa: E402
+
+REF_TF_DIR = "/root/reference/local/tf"
+
+LOG = logging.getLogger("refparity")
+LOG.addHandler(logging.NullHandler())
+
+# (reference TF1 class, our MODEL_ZOO preset) — the four demanded variants
+VARIANTS = [
+    ("ModelWithoutDropout", "no_dropout"),
+    ("ModelWithoutDropoutTdnn", "tdnn_dilated"),
+    ("ModelWithoutDropoutPRelu", "prelu"),
+    ("ModelL2LossWithoutDropoutLReluAttention", "l2_lrelu_attention"),
+]
+
+NUM_CLASSES = 32
+FEAT_DIM = 23
+BATCH = 8
+T_LEN = 37          # odd length exercises SAME-padding asymmetry
+LR = 1e-3
+
+
+@pytest.fixture(scope="module")
+def ref():
+    tf = pytest.importorskip("tensorflow")
+    if not os.path.isdir(REF_TF_DIR):
+        pytest.skip("reference tree not present")
+    import _thread
+
+    tf1 = tf.compat.v1
+    tf1.disable_v2_behavior()
+    sys.modules.setdefault("thread", _thread)
+    # xavier_initializer == glorot_uniform under its modern name; a fixed
+    # op seed makes every build deterministic (the reference seeds
+    # nothing at graph construction, so gradient CONDITIONING — and with
+    # it the f32 noise floor the tolerances below encode — would vary
+    # run to run)
+    if not hasattr(tf1, "contrib"):
+        tf1.contrib = types.SimpleNamespace(layers=types.SimpleNamespace(
+            xavier_initializer=lambda uniform=True, seed=None, dtype=None:
+            tf1.glorot_uniform_initializer(seed=778)))
+
+    orig_tn, orig_const = tf1.truncated_normal, tf1.constant
+    counter = [0]
+
+    def _tn(shape, *a, **k):
+        counter[0] += 1
+        k.setdefault("seed", 1000 + counter[0])
+        return orig_tn([int(s) for s in shape], *a, **k)
+
+    def _const(value, dtype=None, shape=None, name="Const"):
+        if shape is not None:
+            shape = [int(s) for s in shape]
+        return orig_const(value, dtype=dtype, shape=shape, name=name)
+
+    tf1.truncated_normal = _tn
+    tf1.constant = _const
+
+    sys.path.insert(0, REF_TF_DIR)
+    prev_tf = sys.modules.get("tensorflow")
+    sys.modules["tensorflow"] = tf1
+    try:
+        import models as ref_models            # noqa: F401
+    finally:
+        sys.modules["tensorflow"] = prev_tf
+        sys.path.remove(REF_TF_DIR)
+    return types.SimpleNamespace(tf1=tf1, models=ref_models)
+
+
+def _extract_named_weights(ref, sess, graph):
+    """Exactly the name set the reference h5 export writes
+    (models.py:198-210): trainables by variable name, then the BN
+    population-stat probe over both scope families."""
+    out = {}
+    for v in graph.get_collection(ref.tf1.GraphKeys.TRAINABLE_VARIABLES):
+        out[v.name] = sess.run(v)
+    for i in range(5):
+        for scope in ("frame_level_info_layer-%s" % i,
+                      "embed_layer-%s" % i):
+            for nm in ("mean", "variance"):
+                name = "%s/%s:0" % (scope, nm)
+                try:
+                    out[name] = sess.run(graph.get_tensor_by_name(name))
+                except KeyError:
+                    pass
+    return out
+
+
+def _write_reference_h5(path, name2weights):
+    import h5py
+    with h5py.File(path, "w") as hf:
+        for name, mat in name2weights.items():
+            hf.create_dataset(name, data=np.asarray(mat, np.float32))
+
+
+def _to_ref_names(cfg, params, state):
+    """Our pytree → reference TF1 variable names, for comparison."""
+    out = {}
+    for i in range(len(cfg.channels)):
+        sc = "frame_level_info_layer-%d" % i
+        lay, st = params["frame"][i], state["frame"][i]
+        out[sc + "/w:0"] = lay["w"]
+        out[sc + "/b:0"] = lay["b"]
+        out[sc + "/gamma:0"] = lay["bn"]["gamma"]
+        out[sc + "/beta:0"] = lay["bn"]["beta"]
+        out[sc + "/mean:0"] = st["mean"]
+        out[sc + "/variance:0"] = st["var"]
+        if "alpha" in lay:
+            out[sc + "/prelu/prelu:0"] = lay["alpha"]
+    for i in range(len(cfg.embed_dims)):
+        sc = "embed_layer-%d" % i
+        lay, st = params["embed"][i], state["embed"][i]
+        out[sc + "/w:0"] = lay["w"]
+        out[sc + "/b:0"] = lay["b"]
+        out[sc + "/gamma:0"] = lay["bn"]["gamma"]
+        out[sc + "/beta:0"] = lay["bn"]["beta"]
+        out[sc + "/mean:0"] = st["mean"]
+        out[sc + "/variance:0"] = st["var"]
+        if "alpha" in lay:
+            out[sc + "/prelu/prelu:0"] = lay["alpha"]
+    if cfg.pooling == "attention":
+        out["attention/w:0"] = params["attention"]["w"]
+        out["attention/b:0"] = params["attention"]["b"]
+        out["attention/v:0"] = params["attention"]["v"]
+    out["output/w:0"] = params["output"]["w"]
+    out["output/b:0"] = params["output"]["b"]
+    return out
+
+
+def _from_ref_names(cfg, named, like_params):
+    """Reference TF1 variable-name dict → a pytree shaped like
+    ``like_params`` (inverse of ``_to_ref_names``, params only)."""
+    import copy
+    params = copy.deepcopy(jax.tree.map(np.asarray, like_params))
+    for i in range(len(cfg.channels)):
+        sc = "frame_level_info_layer-%d" % i
+        lay = params["frame"][i]
+        lay["w"] = named[sc + "/w:0"]
+        lay["b"] = named[sc + "/b:0"]
+        lay["bn"]["gamma"] = named[sc + "/gamma:0"]
+        lay["bn"]["beta"] = named[sc + "/beta:0"]
+        if "alpha" in lay:
+            lay["alpha"] = named[sc + "/prelu/prelu:0"]
+    for i in range(len(cfg.embed_dims)):
+        sc = "embed_layer-%d" % i
+        lay = params["embed"][i]
+        lay["w"] = named[sc + "/w:0"]
+        lay["b"] = named[sc + "/b:0"]
+        lay["bn"]["gamma"] = named[sc + "/gamma:0"]
+        lay["bn"]["beta"] = named[sc + "/beta:0"]
+        if "alpha" in lay:
+            lay["alpha"] = named[sc + "/prelu/prelu:0"]
+    if cfg.pooling == "attention":
+        params["attention"]["w"] = named["attention/w:0"]
+        params["attention"]["b"] = named["attention/b:0"]
+        params["attention"]["v"] = named["attention/v:0"]
+    params["output"]["w"] = named["output/w:0"]
+    params["output"]["b"] = named["output/b:0"]
+    return params
+
+
+def _assert_close(a, b, rtol, name):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert a.shape == b.shape, f"{name}: shape {a.shape} vs {b.shape}"
+    scale = max(1.0, float(np.abs(a).max()))
+    diff = float(np.abs(a - b).max())
+    assert diff <= rtol * scale, (
+        f"{name}: max|Δ|={diff:.3e} scale={scale:.3e} tol={rtol * scale:.3e}")
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(BATCH, T_LEN, FEAT_DIM).astype(np.float32)
+    y = rng.randint(0, NUM_CLASSES, size=BATCH)
+    onehot = np.zeros((BATCH, NUM_CLASSES), np.float32)
+    onehot[np.arange(BATCH), y] = 1.0
+    return x, y, onehot
+
+
+def _run_reference_flow(ref, class_name, model_dir, x, onehot,
+                        save_step1=None):
+    """Build → restore → eval fwd → train fwd (EMA#1) → Adam step (EMA#2).
+
+    Returns a dict of TF-side observations.  All sess.runs mirror the
+    reference runtime exactly: eval feeds phase=False/keep=1.0
+    (models.py:336-337), training feeds phase=True/keep=1.0
+    (models.py:258-260) and the optimizer op carries the BN update-op
+    control deps (models.py:516-519).
+
+    The gradient probe runs in its OWN restored session: any train-mode
+    evaluation executes the BN EMA assigns (control deps of the taken
+    tf.cond branch, tf_block.py:20-23), so probing gradients in the main
+    session would perturb the population-stat fold count; a throwaway
+    session discards those side effects with it."""
+    tf1 = ref.tf1
+    model = getattr(ref.models, class_name)()
+    model.build_model(NUM_CLASSES, FEAT_DIM, model_dir, logger=None)
+    out = {}
+
+    tf1.reset_default_graph()
+    with tf1.Session() as sess:      # throwaway gradient-probe session
+        model.load_model(sess, model_dir, None)
+        g = sess.graph
+        feed_train = {model.input_x: x, model.input_y: onehot,
+                      model.dropout_keep_prob: 1.0, model.phase: True,
+                      model.learning_rate: LR}
+        trainables = g.get_collection(tf1.GraphKeys.TRAINABLE_VARIABLES)
+        grad_ts = tf1.gradients(model.loss, trainables)
+        grad_vals = sess.run(grad_ts, feed_train)
+        out["grads"] = {v.name: gv for v, gv in zip(trainables, grad_vals)}
+
+    tf1.reset_default_graph()
+    with tf1.Session() as sess:
+        model.load_model(sess, model_dir, None)
+        g = sess.graph
+        out["w0"] = _extract_named_weights(ref, sess, g)
+
+        emb0 = g.get_tensor_by_name("embed_layer-0/scores:0")
+        logits = g.get_tensor_by_name("output/scores:0")
+        feed_eval = {model.input_x: x, model.input_y: onehot,
+                     model.dropout_keep_prob: 1.0, model.phase: False}
+        out["eval_logits"], out["eval_emb0"], out["eval_loss"] = sess.run(
+            [logits, emb0, model.loss], feed_eval)
+
+        feed_train = {model.input_x: x, model.input_y: onehot,
+                      model.dropout_keep_prob: 1.0, model.phase: True,
+                      model.learning_rate: LR}
+        out["train_loss"] = sess.run(model.loss, feed_train)   # EMA #1
+        out["pop1"] = _extract_named_weights(ref, sess, g)
+        sess.run(model.optimizer, feed_train)       # EMA #2 + Adam step
+        out["w1"] = _extract_named_weights(ref, sess, g)
+        if save_step1:
+            ref.models.Model.save_model(sess, save_step1, None)
+    return out
+
+
+def _jax_train_forward(cfg, params, state, x, y):
+    out = tdnn.apply(cfg, params, state, jnp.asarray(x), train=True,
+                     compute_dtype=jnp.float32)
+    ce = heads.softmax_ce(out["logits"], jnp.asarray(y))
+    return ce + out["l2_loss"], out["state"]
+
+
+@pytest.mark.parametrize("class_name,preset", VARIANTS,
+                         ids=[p for _, p in VARIANTS])
+def test_executed_reference_parity(ref, class_name, preset, tmp_path):
+    cfg = tdnn.MODEL_ZOO[preset]
+    x, y, onehot = _batch(0)
+    model_dir = str(tmp_path / class_name)
+    tfres = _run_reference_flow(ref, class_name, model_dir, x, onehot)
+
+    # -- weight transfer through the reference h5 naming scheme ---------
+    h5path = str(tmp_path / "model.h5")
+    _write_reference_h5(h5path, tfres["w0"])
+    params, state = import_reference_h5(h5path, cfg, NUM_CLASSES)
+
+    # (a) eval-mode forward: logits, x-vector readout, loss
+    out = tdnn.apply(cfg, params, state, jnp.asarray(x), train=False,
+                     compute_dtype=jnp.float32)
+    _assert_close(tfres["eval_logits"], out["logits"], 1e-4, "eval logits")
+    _assert_close(tfres["eval_emb0"], out["xvector"], 1e-4, "eval xvector")
+    ce = heads.softmax_ce(out["logits"], jnp.asarray(y)) + out["l2_loss"]
+    _assert_close(tfres["eval_loss"], ce, 1e-5, "eval loss")
+
+    # masked-padding equivalence: our padded batch == TF unpadded batch
+    pad = np.concatenate(
+        [x, 7.7 * np.ones((BATCH, 17, FEAT_DIM), np.float32)], axis=1)
+    mask = np.zeros((BATCH, T_LEN + 17), np.float32)
+    mask[:, :T_LEN] = 1.0
+    outp = tdnn.apply(cfg, params, state, jnp.asarray(pad),
+                      mask=jnp.asarray(mask), train=False,
+                      compute_dtype=jnp.float32)
+    _assert_close(tfres["eval_logits"], outp["logits"], 1e-4,
+                  "masked eval logits")
+
+    # (b) train-mode loss + BN population EMA update (one fold)
+    loss1, state1 = _jax_train_forward(cfg, params, state, x, y)
+    _assert_close(tfres["train_loss"], loss1, 1e-5, "train loss")
+    ours1s = _to_ref_names(cfg, params, state1)
+    for name, tfval in tfres["pop1"].items():
+        if name.endswith(("/mean:0", "/variance:0")):
+            _assert_close(tfval, ours1s[name], 1e-5, f"pop stat {name}")
+
+    # (c) gradient parity against an f64 referee.  These gradients are
+    # ill-conditioned in f32 (stats-pooling/BN backward sums cancel;
+    # TF's own grads vary run-to-run by ~1e-3 on the worst elements with
+    # thread-order changes), so comparing the two f32 results directly
+    # measures noise, not semantics.  Instead: compute the gradient in
+    # f64 (the model code is dtype-polymorphic) and require TF's f32
+    # error against the referee to be within a small factor of OUR f32
+    # error — identical semantics land both at the same noise floor; a
+    # semantic difference would put TF orders of magnitude further out.
+    grad_fn = jax.grad(lambda p: _jax_train_forward(cfg, p, state, x, y)[0])
+    grads = grad_fn(params)
+    ours_g = _to_ref_names(cfg, grads, jax.tree.map(np.zeros_like, state1))
+
+    import jax as _jax
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        p64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float64)),
+                           params)
+        s64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float64)),
+                           state)
+
+        def loss64(p):
+            out = tdnn.apply(cfg, p, s64, jnp.asarray(
+                np.asarray(x, np.float64)), train=True,
+                compute_dtype=jnp.float64)
+            ce = heads.softmax_ce(out["logits"], jnp.asarray(y))
+            return ce + out["l2_loss"]
+
+        g64 = jax.tree.map(np.asarray, jax.grad(loss64)(p64))
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+    ref_g = _to_ref_names(cfg, g64, jax.tree.map(np.zeros_like, state1))
+
+    # Criterion: relative Frobenius error against the referee.  Noise
+    # spreads thinly over elements (measured: ours ~1e-6, TF's conv
+    # filter-grad kernel ~1e-4 — its worst ELEMENT is ~1e-3, matching
+    # its own run-to-run thread-order variation); a semantic divergence
+    # (wrong padding/dilation/moment formula) restructures the whole
+    # tensor and lands at O(1).
+    for name, tfg in tfres["grads"].items():
+        truth = np.asarray(ref_g[name], np.float64)
+        denom = max(float(np.linalg.norm(truth)), 1e-12)
+        tf_rel = float(np.linalg.norm(
+            np.asarray(tfg, np.float64) - truth)) / denom
+        jax_rel = float(np.linalg.norm(
+            np.asarray(ours_g[name], np.float64) - truth)) / denom
+        assert jax_rel <= 3e-4, f"grad {name}: our f32 vs f64 {jax_rel:.3e}"
+        # TF's f32 kernels wander up to ~3e-3 rel-Frobenius run-to-run on
+        # cancellation-heavy small tensors (conv bias grads); a semantic
+        # divergence lands at O(1) — 1e-2 keeps 2 orders of margin
+        assert tf_rel <= 1e-2, (
+            f"grad {name}: TF rel err {tf_rel:.3e} vs referee "
+            f"(ours {jax_rel:.3e}) — semantic divergence")
+
+    # (d) optimizer-step exactness: feed TF's OWN f32 gradients through
+    # our tf_adam transform — isolates the update rule from gradient
+    # noise; tf.train.AdamOptimizer must be reproduced to f32 rounding
+    import optax
+    tf_grads_tree = _from_ref_names(cfg, tfres["grads"], params)
+    opt = tf_adam(LR)
+    updates, _ = opt.update(jax.tree.map(jnp.asarray, tf_grads_tree),
+                            opt.init(params))
+    params1 = optax.apply_updates(params, updates)
+    _, state2 = _jax_train_forward(cfg, params, state1, x, y)
+    ours1 = _to_ref_names(cfg, params1, state2)
+    for name, tfval in tfres["w1"].items():
+        # trainables to f32 rounding; BN pop stats carry EMA-fold noise
+        tol = (1e-5 if name.endswith(("/mean:0", "/variance:0"))
+               else 1e-6)
+        _assert_close(tfval, ours1[name], tol, f"post-Adam {name}")
+
+    # end-to-end (our grads → our tf_adam) vs TF params: bounded by the
+    # worst-case Adam sign-flip on noise-dominated gradient elements,
+    # |Δ| ≤ 2·lr·sqrt(1-b2)/(1-b1)·(1-b1)/sqrt(1-b2) = 2·lr; require
+    # 99.9% of elements inside 1e-5 and every element inside 2.1·lr
+    updates2, _ = opt.update(grads, opt.init(params))
+    params1b = optax.apply_updates(params, updates2)
+    ours1b = _to_ref_names(cfg, params1b, state2)
+    worst, n_all, n_bad = 0.0, 0, 0
+    for name, tfval in tfres["w1"].items():
+        if name.endswith(("/mean:0", "/variance:0")):
+            continue
+        d = np.abs(np.asarray(tfval, np.float64)
+                   - np.asarray(ours1b[name], np.float64))
+        worst = max(worst, float(d.max()))
+        n_all += d.size
+        n_bad += int((d > 1e-5).sum())
+    assert worst <= 2.1 * LR, f"end-to-end post-Adam worst |Δ|={worst:.3e}"
+    assert n_bad <= max(1, n_all // 1000), (
+        f"end-to-end post-Adam: {n_bad}/{n_all} elements above 1e-5")
+
+
+def test_optax_adam_eps_drift_vs_tf(ref, tmp_path):
+    """optax.adam differs from tf.train.AdamOptimizer only in epsilon
+    placement (Algorithm 1 vs pre-2.1 formula).  Measure the one-step
+    drift on the flagship so the production default (optax.adam) carries
+    an executed bound, and confirm tf_adam is the exact one."""
+    import optax
+    cfg = tdnn.MODEL_ZOO["no_dropout"]
+    x, y, onehot = _batch(1)
+    model_dir = str(tmp_path / "drift")
+    tfres = _run_reference_flow(ref, "ModelWithoutDropout", model_dir,
+                                x, onehot)
+    h5path = str(tmp_path / "m.h5")
+    _write_reference_h5(h5path, tfres["w0"])
+    params, state = import_reference_h5(h5path, cfg, NUM_CLASSES)
+    # TF's own gradients: isolates the optimizer formulas from f32
+    # gradient noise (see the referee discussion in the parity test)
+    grads = jax.tree.map(jnp.asarray,
+                         _from_ref_names(cfg, tfres["grads"], params))
+
+    def step(transform):
+        st = transform.init(params)
+        upd, _ = transform.update(grads, st, params)
+        return optax.apply_updates(params, upd)
+
+    p_tf_adam = _to_ref_names(cfg, step(tf_adam(LR)), state)
+    p_optax = _to_ref_names(cfg, step(optax.adam(LR)), state)
+
+    exact = drift = 0.0
+    for name, tfval in tfres["w1"].items():
+        if name.endswith(("/mean:0", "/variance:0")):
+            continue
+        tfv = np.asarray(tfval, np.float64)
+        exact = max(exact, float(np.abs(
+            tfv - np.asarray(p_tf_adam[name], np.float64)).max()))
+        drift = max(drift, float(np.abs(
+            tfv - np.asarray(p_optax[name], np.float64)).max()))
+    # tf_adam reproduces TF bit-for-tolerance; optax.adam drifts only via
+    # eps placement — bounded by lr_t·(eps/sqrt(1-b2) - eps)/sqrt(v_t),
+    # worst case ~lr for v_t→0 but in practice orders below the update
+    assert exact <= 1e-6, f"tf_adam vs TF: {exact:.3e}"
+    assert drift < 1e-3, f"optax.adam vs TF drift unexpectedly large: " \
+                         f"{drift:.3e}"
+    # record the measured numbers for PARITY.md
+    print(f"\n[refparity] one-step max|Δ| vs TF Adam: "
+          f"tf_adam={exact:.3e} optax.adam={drift:.3e}")
+
+
+def test_chunked_extraction_parity(ref, tmp_path):
+    """Reference ``make_embedding`` (models.py:356-432) executed over a
+    real ark stream through the reference's vendored kaldi_io, vs our
+    bucketed masked extractor — same trained-ish weights (one Adam step),
+    same chunk protocol (chunk 150, min 25): split, drop short tails,
+    frame-weighted average."""
+    cfg = tdnn.MODEL_ZOO["no_dropout"]
+    x, y, onehot = _batch(2)
+    model_dir = str(tmp_path / "flag")
+    step1_dir = str(tmp_path / "flag_step1")
+    tfres = _run_reference_flow(ref, "ModelWithoutDropout", model_dir,
+                                x, onehot, save_step1=step1_dir)
+
+    rng = np.random.RandomState(7)
+    utts = {
+        "utt_a": rng.randn(30, FEAT_DIM).astype(np.float32),
+        "utt_b": rng.randn(180, FEAT_DIM).astype(np.float32),
+        "utt_c": rng.randn(370, FEAT_DIM).astype(np.float32),   # 150+150+70
+        "utt_d": rng.randn(160, FEAT_DIM).astype(np.float32),   # 150 + (10<25 dropped)
+        "utt_e": rng.randn(24, FEAT_DIM).astype(np.float32),    # skipped (<25)
+        "utt_f": rng.randn(150, FEAT_DIM).astype(np.float32),
+    }
+    in_ark = str(tmp_path / "feats.ark")
+    out_ark = str(tmp_path / "xv.ark")
+    with open(in_ark, "wb") as f:
+        for k, m in utts.items():
+            kaldi_ark.write_mat(f, m, key=k)
+
+    ref.tf1.reset_default_graph()
+    model = ref.models.Model()
+    with open(in_ark, "rb") as fin, open(out_ark, "wb") as fout:
+        model.make_embedding(fin, fout, step1_dir, 25, 150,
+                             use_gpu=False, logger=LOG)
+    tf_vecs = dict(kaldi_ark.read_vec_flt_ark(out_ark))
+    assert set(tf_vecs) == {"utt_a", "utt_b", "utt_c", "utt_d", "utt_f"}
+
+    # our side: weights extracted from the post-step TF session
+    h5path = str(tmp_path / "m1.h5")
+    _write_reference_h5(h5path, tfres["w1"])
+    params, state = import_reference_h5(h5path, cfg, NUM_CLASSES)
+    ex = XvectorExtractor(cfg, params, state, ExtractorConfig(
+        min_chunk=25, max_chunk=150, batch_size=4,
+        buckets=(32, 64, 96, 128, 160)))
+    ours = ex.extract(iter(utts.items()))
+    assert set(ours) == set(tf_vecs)
+    for k in tf_vecs:
+        _assert_close(tf_vecs[k], ours[k], 1e-4, f"xvector {k}")

@@ -343,3 +343,33 @@ def test_bf16_adam_moments_trains(tmp_path):
     assert last["loss"] < first["loss"]
     mu = tr.opt_state.inner_state[0].mu
     assert str(jax.tree.leaves(mu)[0].dtype) == "bfloat16"
+
+
+def test_final_combine_gated_under_multi_controller(tmp_path, monkeypatch):
+    """Under multiple controller processes _final_combine must NOT run the
+    per-process combination (each process would converge to different
+    weights and collectively save inconsistent pytrees); it falls back to
+    marking the last complete iteration final, with a skip record."""
+    tr = _mk_trainer(tmp_path, num_epochs=2, final_combine=True,
+                     combine_opt_steps=8, block_size=2)
+    batches = _synthetic_batches(num_batches=3)
+    tr.train(lambda i: iter(batches), num_archives=3)   # no diag → no cands
+    # re-run the combine step as if this were one of 2 controllers
+    import xvector_tpu.train.trainer as trmod
+    monkeypatch.setattr(trmod.jax, "process_count", lambda: 2)
+    # the real jax.process_count is patched above, so neutralize the
+    # checkpoint barrier (it would try to all-gather across 2 phantom
+    # processes on a single-process device set)
+    monkeypatch.setattr(C, "_sync", lambda tag: None)
+    try:
+        from xvector_tpu.train.combine import combine_iterations
+        tr._final_combine(combine_iterations(6, 3),
+                          lambda: iter(batches[:1]))
+    finally:
+        monkeypatch.undo()
+    link = os.path.join(tr.work_dir, "model_final")
+    assert os.path.islink(link) and os.readlink(link) == "model_6"
+    recs = [json.loads(l) for l in open(os.path.join(tr.work_dir,
+                                                     "metrics.jsonl"))]
+    assert any(r.get("kind") == "combine_skipped" for r in recs)
+    assert not any(r.get("kind") == "combine" for r in recs)

@@ -44,8 +44,13 @@ class RecipeConfig:
     mfcc: featlib.MfccConfig = featlib.MfccConfig()
     vad: featlib.VadConfig = featlib.VadConfig()
     cmvn_window: int = 300
-    min_utt_frames: int = 50          # drop too-short utts (run.sh:177-181)
-    min_spk_utts: int = 2             # drop sparse speakers (run.sh:183-185)
+    # drop too-short utts: STRICTLY-GREATER contract, an utterance is
+    # kept iff frames > min_utt_frames (run.sh:199-201 `awk '$2 > min_len'`).
+    # CLIs targeting reference parity pass min_chunk-1 so a minimum-size
+    # chunk still fits (the reference passes 500 = 400+100 headroom)
+    min_utt_frames: int = 50
+    min_spk_utts: int = 2             # keep speakers with >= this many
+    #                                   utts (run.sh:208-211, 8 at scale)
     allocator: alloclib.AllocatorConfig = alloclib.AllocatorConfig()
     # 0 = derive from the get_egs.sh:120 formula at make_egs time:
     # num_train_frames * num_repeats / frames_per_iter + 1

@@ -241,20 +241,24 @@ def _masked_moments(x, mask, axes, axis_name=None):
     def allsum(v):
         return jax.lax.psum(v, axis_name) if axis_name else v
 
+    # accumulate in f32 — or f64 when the input is already f64 (the
+    # double-precision referee path in tests; bf16/f32 production inputs
+    # are unaffected)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
     if mask is None:
         count = 1.0
         for a in axes:
             count = count * x.shape[a]
-        count = allsum(jnp.float32(count))
-        mean = allsum(jnp.sum(x, axes, dtype=jnp.float32)) / count
+        count = allsum(jnp.asarray(count, acc))
+        mean = allsum(jnp.sum(x, axes, dtype=acc)) / count
         var = allsum(jnp.sum(jnp.square(x), axes,
-                             dtype=jnp.float32)) / count - jnp.square(mean)
+                             dtype=acc)) / count - jnp.square(mean)
         return mean, var
     m = mask.astype(x.dtype)
-    count = jnp.maximum(allsum(jnp.sum(mask.astype(jnp.float32), axes)), 1.0)
-    mean = allsum(jnp.sum(x * m, axes, dtype=jnp.float32)) / count
+    count = jnp.maximum(allsum(jnp.sum(mask.astype(acc), axes)), 1.0)
+    mean = allsum(jnp.sum(x * m, axes, dtype=acc)) / count
     var = allsum(jnp.sum(jnp.square(x) * m, axes,
-                         dtype=jnp.float32)) / count - jnp.square(mean)
+                         dtype=acc)) / count - jnp.square(mean)
     return mean, var
 
 
@@ -353,15 +357,17 @@ def _conv1d_same(x, w, dilation: int, fused_bwd: bool = False):
 
 
 def _affine(x, w, b, compute_dtype):
-    """x @ w + b with bf16-capable operands and f32 accumulation."""
+    """x @ w + b with bf16-capable operands and f32 (or wider) accum."""
+    acc = jnp.promote_types(compute_dtype, jnp.float32)
     return jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
-                   preferred_element_type=jnp.float32) + b
+                   preferred_element_type=acc) + b
 
 
 def stats_pooling(h, mask=None, eps: float = VAR2STD_EPSILON):
     """mean ‖ sqrt(var+eps) over the time axis (models.py:485-486), masked
     for padded frames."""
-    mean, var = _masked_moments(h.astype(jnp.float32), mask, (1,))
+    mean, var = _masked_moments(
+        h.astype(jnp.promote_types(h.dtype, jnp.float32)), mask, (1,))
     return jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0) + eps)],
                            axis=-1)
 
@@ -377,20 +383,21 @@ def attention_pooling(h, att: Params, mask=None, eps: float = VAR2STD_EPSILON):
     the main reason the attention variant ran at 49% of the flagship's
     throughput (BENCH_r02).  Softmax statistics stay f32."""
     half = h.shape[-1] // 2
+    acc = jnp.promote_types(h.dtype, jnp.float32)
     h1, h2 = h[..., :half], h[..., half:]
     pre = jnp.dot(h1, att["w"].astype(h.dtype),
-                  preferred_element_type=jnp.float32) + att["b"]
+                  preferred_element_type=acc) + att["b"]
     scores = jnp.dot(jnp.tanh(pre).astype(h.dtype),
                      att["v"].astype(h.dtype),
-                     preferred_element_type=jnp.float32)        # (B, T)
+                     preferred_element_type=acc)                # (B, T)
     if mask is not None:
         scores = jnp.where(mask[..., 0] > 0, scores, -1e30)
     alpha = jax.nn.softmax(scores, axis=1)                      # f32
     a = alpha.astype(h.dtype)
     mean = jnp.einsum("btc,bt->bc", h2, a,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=acc)
     ex2 = jnp.einsum("btc,btc,bt->bc", h2, h2, a,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc)
     var = ex2 - jnp.square(mean)
     return jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0) + eps)],
                            axis=-1)
@@ -476,13 +483,14 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
     else:
         pooled = stats_pooling(h, m)
 
-    l2 = jnp.float32(0.0)
+    acc = jnp.promote_types(jnp.dtype(compute_dtype), jnp.float32)
+    l2 = jnp.asarray(0.0, acc)
     h = pooled
     xvector = None
     for i, layer in enumerate(params["embed"]):
         pre = _affine(h, layer["w"], layer["b"], compute_dtype)
         if i == 0:
-            xvector = pre.astype(jnp.float32)
+            xvector = pre.astype(acc)
         if cfg.l2_beta > 0.0:
             scale = 0.1 if i == 0 else 1.0     # models.py:811-817
             l2 = l2 + scale * 0.5 * (jnp.sum(jnp.square(layer["w"]))
@@ -505,9 +513,9 @@ def apply(cfg: TdnnConfig, params: Params, state: State, x,
                          + jnp.sum(jnp.square(out["b"])))
 
     return {
-        "logits": None if logits is None else logits.astype(jnp.float32),
+        "logits": None if logits is None else logits.astype(acc),
         "xvector": xvector,
-        "hidden": h.astype(jnp.float32),   # post embed stack, pre output
+        "hidden": h.astype(acc),           # post embed stack, pre output
         "pooled": pooled,
         "l2_loss": cfg.l2_beta * l2,
         "state": new_state,

@@ -65,7 +65,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     max_param_change: float = 0.0          # 0 = off (dead knob in reference)
     block_size: int = 16                   # minibatches per device dispatch
-    optimizer: str = "adam"                # adam (reference) | sgd
+    optimizer: str = "adam"                # adam (reference semantics via
+    # optax.adam) | tf_adam (bit-exact tf.train.AdamOptimizer epsilon
+    # placement, train/tf_adam.py) | sgd
     momentum: float = 0.5                  # used by sgd (run_xvector.sh:96
     #                                        passes 0.5; dead under Adam)
     adam_moments_dtype: str = "float32"    # "bfloat16" stores Adam's
@@ -246,6 +248,12 @@ class Trainer:
                 base = functools.partial(
                     optax.adam, mu_dtype=jnp.dtype(cfg.adam_moments_dtype))
             self.optimizer = optax.inject_hyperparams(base)(
+                learning_rate=cfg.initial_effective_lrate)
+        elif cfg.optimizer == "tf_adam":
+            # bit-exact tf.train.AdamOptimizer semantics (eps placement
+            # differs from optax.adam; see train/tf_adam.py)
+            from .tf_adam import tf_adam
+            self.optimizer = optax.inject_hyperparams(tf_adam)(
                 learning_rate=cfg.initial_effective_lrate)
         elif cfg.optimizer == "sgd":
             self.optimizer = optax.inject_hyperparams(
@@ -512,8 +520,11 @@ class Trainer:
             thread on failure, ze_utils.py:197-210)."""
             for f in list(diag_futures):
                 if wait or f.done():
-                    f.result()
+                    # remove BEFORE result(): if the future raises, the
+                    # finally block must not re-log the same exception
+                    # as a second, masked diag_error
                     diag_futures.remove(f)
+                    f.result()
 
         def submit_diag(it: int):
             if not has_diag:
@@ -638,6 +649,21 @@ class Trainer:
         available = {it: path
                      for it, path in checkpoints.iteration_dirs(self.work_dir)
                      if checkpoints.is_complete(path)}
+        if jax.process_count() > 1:
+            # optimize_combination runs a process-local jit over
+            # host-local diagnostics batches: each controller would
+            # converge to different combination weights and save_named
+            # would then collectively write inconsistent pytrees (and
+            # _pad_rows's global n_rows would mask nothing locally).
+            # Deterministic fallback: every process marks the last
+            # complete iteration final.
+            self._log({"kind": "combine_skipped",
+                       "reason": "multi-controller combination "
+                                 "unsupported; marked last iteration "
+                                 "final instead"})
+            checkpoints.mark_final(self.work_dir,
+                                   max(available) if available else 0)
+            return
         cands = [it for it in combine_set if it in available]
         if not cands or batches_fn is None:
             checkpoints.mark_final(self.work_dir, max(available) if available

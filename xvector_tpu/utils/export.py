@@ -131,6 +131,12 @@ def import_reference_h5(path: str, cfg, num_classes: int):
         put(st, "var", get(f"{scope}/variance", np.asarray(st["var"])))
         if "alpha" in layer:
             put(layer, "alpha", get(f"{scope}/prelu/prelu"))
+    if cfg.pooling == "attention":
+        # models.py:1040-1044: attention scope {w, b, v}
+        att = params["attention"]
+        put(att, "w", get("attention/w"))
+        put(att, "b", get("attention/b"))
+        put(att, "v", get("attention/v"))
     put(params["output"], "w", get("output/w"))
     put(params["output"], "b", get("output/b"))
     return params, state

@@ -50,7 +50,10 @@ def bench_train(jax, jnp):
                                      NUM_SPEAKERS)
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
     opt_state = opt.init(params)
-    step = make_block_train_step(model_cfg, cfg, opt)
+    # dense=True: the bench blocks are full (no pad frames/rows), which
+    # is what the trainer's host-side dispatch selects in production for
+    # bucketed archives (tools/bench_dense.py: 3.99 -> 3.71 ms, +6.9%)
+    step = make_block_train_step(model_cfg, cfg, opt, dense=True)
 
     rng = np.random.RandomState(0)
     xs = jnp.asarray(rng.randn(block, MINIBATCH, FRAMES, FEAT_DIM)
@@ -106,7 +109,7 @@ def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
                                      NUM_SPEAKERS)
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
     opt_state = opt.init(params)
-    step = make_block_train_step(model_cfg, cfg, opt)
+    step = make_block_train_step(model_cfg, cfg, opt, dense=True)
     rng = np.random.RandomState(0)
     xs = jnp.asarray(rng.randn(block, MINIBATCH, FRAMES, FEAT_DIM)
                      .astype(np.float16))

@@ -112,3 +112,94 @@ def test_e2e_idempotent_restart(pipeline):
     recipe.make_features(DataDir(utt2spk=utt2spk),
                          lambda u: 1 / 0, split="all")  # provider unused
     assert os.path.getmtime(ark) == mtime
+
+
+# ---------------------------------------------------------------------------
+# Hard corpus: overlapping speakers + channel nuisance (regression EER band)
+# ---------------------------------------------------------------------------
+
+def _make_hard_corpus(seed=3, num_spk=10, utts=8):
+    """Confusable speaker pairs (shared first tone, second tone only 6%
+    apart) under per-utterance channel nuisance (random 1-pole spectral
+    tilt, an utterance-specific interfering tone, 5-15 dB noise).  Unlike
+    the smoke corpus this is NOT linearly separable: the recipe lands at
+    a nontrivial EER, so the assertion is a regression band rather than
+    a far-below-chance smoke check (the reference's operational
+    verification role, run.sh:291-294)."""
+    from scipy.signal import lfilter
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(400, 2400, size=num_spk // 2)
+    second = rng.uniform(800, 3200, size=num_spk // 2)
+    freqs = []
+    for p in range(num_spk // 2):
+        freqs.append((base[p], second[p]))
+        freqs.append((base[p], second[p] * 1.06))
+    waves, utt2spk = {}, {}
+    for s in range(num_spk):
+        f1, f2 = freqs[s]
+        for u in range(utts):
+            dur = int(SR * rng.uniform(1.8, 2.4))
+            t = np.arange(dur) / SR
+            w = (np.sin(2 * np.pi * f1 * t + rng.uniform(0, 6))
+                 + rng.uniform(0.5, 1.0)
+                 * np.sin(2 * np.pi * f2 * t + rng.uniform(0, 6)))
+            w = lfilter([1.0], [1.0, -rng.uniform(0.2, 0.9)], w)
+            fc = rng.uniform(300, 3500)
+            w = w + rng.uniform(0.3, 0.9) * np.sin(2 * np.pi * fc * t)
+            w = (2000 * w / np.abs(w).max()
+                 + rng.uniform(200, 700) * rng.randn(dur))
+            utt = f"spk{s}_utt{u}"
+            waves[utt] = w.astype(np.float32)
+            utt2spk[utt] = f"spk{s}"
+    return waves, utt2spk
+
+
+@pytest.fixture(scope="module")
+def hard_pipeline(tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("e2e_hard"))
+    waves, utt2spk = _make_hard_corpus()
+    cfg = RecipeConfig(
+        work_dir=work,
+        min_utt_frames=60,
+        num_valid_utts=4,
+        num_archives=2,
+        allocator=AllocatorConfig(min_frames=60, max_frames=120,
+                                  minibatch_size=8, num_repeats=3,
+                                  frames_per_iter=40_000, seed=1,
+                                  length_bucket=32),
+        train=TrainConfig(model="tiny", num_targets=1, num_epochs=2,
+                          compute_dtype="float32",
+                          initial_effective_lrate=2e-3,
+                          final_effective_lrate=5e-4),
+        extractor=ExtractorConfig(min_chunk=25, max_chunk=400,
+                                  batch_size=8,
+                                  buckets=(64, 128, 192, 256, 320, 416)),
+        lda_dim=8,
+    )
+    recipe = Recipe(cfg)
+    feat_dir = recipe.make_features(DataDir(utt2spk=utt2spk),
+                                    lambda u: waves[u], split="all")
+    train_dir, valid_dir, num_targets = recipe.make_egs(feat_dir)
+    trainer = recipe.train(num_targets)
+    return recipe, feat_dir, train_dir, trainer
+
+
+def test_e2e_hard_corpus_eer_regression_band(hard_pipeline):
+    """EER on the hard corpus must land in a NONTRIVIAL band: measured
+    10.0% at this configuration (seeded end to end).  The band [2%, 22%]
+    makes this a regression signal in both directions — a quality
+    regression anywhere in the chain pushes it up; silent label leakage
+    or an over-easy corpus pushes it to ~0."""
+    recipe, feat_dir, train_dir, trainer = hard_pipeline
+    xv = recipe.extract(trainer, feat_dir, split="all")
+    from xvector_tpu.extract.extractor import speaker_means
+    train_xv = {u: xv[u] for u in train_dir.utts if u in xv}
+    enroll_xv = {u: v for u, v in xv.items() if int(u.split("utt")[1]) < 3}
+    test_xv = {u: v for u, v in xv.items() if int(u.split("utt")[1]) >= 3}
+    spk_enroll, _ = speaker_means(enroll_xv, feat_dir.utt2spk)
+    trials = [(spk, t, 1 if feat_dir.utt2spk[t] == spk else 0)
+              for spk in spk_enroll for t in test_xv]
+    res = recipe.score(train_xv, train_dir, spk_enroll, test_xv, trials,
+                       adapt_xv=None)
+    assert res["num_trials"] == 500
+    assert 0.02 <= res["eer"] <= 0.22, f"EER {res['eer']:.3f} out of band"

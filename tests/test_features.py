@@ -397,3 +397,22 @@ def test_compact_voiced_matches_host_selection():
         assert new_mask[i].sum() == k
         np.testing.assert_array_equal(out[i, :k], ref)
         assert np.abs(out[i, k:]).max() == 0.0
+
+
+def test_dct_matrix_matches_scipy():
+    """Cross-check the production DCT matrix against scipy's orthonormal
+    DCT-II — an implementation neither this repo nor the oracle authored.
+    (The spectrum stage is already cross-checked against np.fft.rfft in
+    the oracle; what remains oracle-only after this: the povey window
+    and the Kaldi mel-bank edge construction, both Kaldi-specific with
+    no independent implementation in this environment.)"""
+    import scipy.fft
+    from xvector_tpu.ops.features import _dct_matrix
+
+    num_ceps, num_bins = 13, 23
+    ours = _dct_matrix(num_ceps, num_bins)
+    # scipy: dct(eye, type 2, norm="ortho") rows are the orthonormal
+    # DCT-II basis — exactly Kaldi's ComputeDctMatrix convention
+    ref = scipy.fft.dct(np.eye(num_bins), type=2, norm="ortho",
+                        axis=1)[:, :num_ceps].T
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

@@ -373,3 +373,71 @@ def test_final_combine_gated_under_multi_controller(tmp_path, monkeypatch):
                                                      "metrics.jsonl"))]
     assert any(r.get("kind") == "combine_skipped" for r in recs)
     assert not any(r.get("kind") == "combine" for r in recs)
+
+
+def test_dense_fastpath_matches_masked(tmp_path):
+    """The mask-free loss is BIT-IDENTICAL to the masked loss on a full
+    batch (multiplying by an all-ones mask changes nothing); the
+    compiled block-step twins then differ only by XLA reassociation —
+    the same drift class as recompiling after an XLA upgrade — which
+    Adam amplifies to at most ~2·lr per step on noise-dominated
+    elements.  Both levels are asserted at their own tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from xvector_tpu.models import tdnn as tdnnlib
+    from xvector_tpu.train import trainer as trmod
+
+    tr_d = _mk_trainer(tmp_path / "d", num_epochs=1, block_size=2)
+    assert tr_d._block_dense_fn is not None
+    tr_m = _mk_trainer(tmp_path / "m", num_epochs=1, block_size=2,
+                       dense_fastpath=False)
+    assert tr_m._block_dense_fn is None
+
+    # bit-identity of the loss fn itself
+    x, y, t = _synthetic_batches(num_batches=1)[0]
+    key = jax.random.PRNGKey(3)
+    args = (tr_d.model_cfg, tr_d.cfg, tr_d.params, tr_d.state,
+            jnp.asarray(x), jnp.asarray(y), jnp.int32(t),
+            jnp.int32(x.shape[0]), 1.0, key)
+    lm, _ = trmod._loss_fn(*args)
+    ld, _ = trmod._loss_fn(*args, dense=True)
+    assert float(lm) == float(ld)
+
+    # program-level drift stays within the Adam sign-flip bound
+    batches = _synthetic_batches(num_batches=4)
+    lr, steps = 1e-3, 4
+    sd = tr_d.train_one_iteration(0, iter(batches), lr=lr, dropout=0.0,
+                                  shrink=1.0)
+    sm = tr_m.train_one_iteration(0, iter(batches), lr=lr, dropout=0.0,
+                                  shrink=1.0)
+    assert abs(sd["loss"] - sm["loss"]) < 0.05 * sm["loss"]
+    for pd, pm in zip(jax.tree.leaves(tr_d.params),
+                      jax.tree.leaves(tr_m.params)):
+        d = float(np.abs(np.asarray(pd) - np.asarray(pm)).max())
+        assert d <= 2.1 * lr * steps, d
+
+
+def test_dense_fastpath_not_taken_for_padded_blocks(tmp_path):
+    """Blocks containing ANY padded minibatch must use the masked step
+    (the dense twin would include pad frames in BN/pooling statistics)."""
+    tr = _mk_trainer(tmp_path, num_epochs=1, block_size=2)
+    calls = {"dense": 0, "masked": 0}
+    orig_d, orig_m = tr._block_dense_fn, tr._block_fn
+
+    def spy_d(*a):
+        calls["dense"] += 1
+        return orig_d(*a)
+
+    def spy_m(*a):
+        calls["masked"] += 1
+        return orig_m(*a)
+
+    tr._block_dense_fn, tr._block_fn = spy_d, spy_m
+    full = _synthetic_batches(num_batches=2)
+    padded = [(np.pad(x, ((0, 0), (0, 8), (0, 0))), y, t)
+              for x, y, t in _synthetic_batches(num_batches=2)]
+    tr.train_one_iteration(0, iter(full), lr=1e-3, dropout=0.0, shrink=1.0)
+    assert calls == {"dense": 1, "masked": 0}
+    tr.train_one_iteration(1, iter(padded), lr=1e-3, dropout=0.0,
+                           shrink=1.0)
+    assert calls == {"dense": 1, "masked": 1}

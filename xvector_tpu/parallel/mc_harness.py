@@ -36,11 +36,13 @@ import numpy as np
 
 NUM_SPK = 8
 FEAT = 23
-UTTS_PER_SPK = 6
+UTTS_PER_SPK = 6          # speaker 0 gets 2 extra utts: the 50-utt total
+#                           makes stride extraction shards UNEVEN at any
+#                           host count that does not divide 50
 FRAMES = 120
 NUM_ARCHIVES = 2
 GLOBAL_MB = 8
-NUM_EPOCHS = 2            # x NUM_ARCHIVES archives = 4 iterations
+NUM_EPOCHS = 2            # x num_archives archives = iteration count
 STOP_AFTER = 2            # the "kill" point of the interrupted run
 
 
@@ -57,7 +59,7 @@ def build_corpus(work: str, seed: int = 0):
     with kio.ArkWriter(ark, ark + ".scp") as w, \
             open(os.path.join(work, "utt2spk"), "w") as f:
         for s in range(NUM_SPK):
-            for u in range(UTTS_PER_SPK):
+            for u in range(UTTS_PER_SPK + (2 if s == 0 else 0)):
                 utt = f"s{s}-u{u}"
                 mat = (rng.randn(FRAMES, FEAT) * 0.3
                        + means[s]).astype(np.float32)
@@ -66,7 +68,7 @@ def build_corpus(work: str, seed: int = 0):
     open(ark + ".done", "w").close()
 
 
-def _plans(work: str):
+def _plans(work: str, num_archives: int = NUM_ARCHIVES):
     """Archive plans, rebuilt deterministically on every process from the
     shared manifest (file order fixes dict order fixes the RNG draws)."""
     from ..data import allocator as alloclib
@@ -84,7 +86,7 @@ def _plans(work: str):
         min_frames=40, max_frames=60, minibatch_size=GLOBAL_MB,
         num_repeats=2, frames_per_iter=20000, length_bucket=8, seed=77)
     plans = list(alloclib.allocate_archives(utt2len, utt2int, cfg,
-                                            num_archives=NUM_ARCHIVES))
+                                            num_archives=num_archives))
     return plans, utt2src
 
 
@@ -114,17 +116,21 @@ def _model_cfg():
 
 
 def worker_main(argv: List[str]):
-    """Body of one controller process.  argv: port pid work phase —
-    phase 1 materialises this host's archive shard then trains with the
-    deterministic stop at STOP_AFTER iterations; phase 2 resumes from the
-    shared checkpoints to completion and extracts this host's utterance
-    shard."""
+    """Body of one controller process.  argv: port pid work phase
+    n_procs local_devices num_archives — phase 1 materialises this
+    host's archive shard then trains with the deterministic stop at
+    STOP_AFTER iterations; phase 2 resumes from the shared checkpoints
+    to completion and extracts this host's utterance shard."""
     import jax
     port, pid, work, phase = (argv[0], int(argv[1]), argv[2],
                               int(argv[3]))
+    n_procs = int(argv[4]) if len(argv) > 4 else 2
+    local_devices = int(argv[5]) if len(argv) > 5 else 2
+    num_archives = int(argv[6]) if len(argv) > 6 else NUM_ARCHIVES
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=pid)
-    assert jax.process_count() == 2 and len(jax.devices()) == 4
+                               num_processes=n_procs, process_id=pid)
+    assert jax.process_count() == n_procs
+    assert len(jax.devices()) == n_procs * local_devices
     from jax.experimental import multihost_utils
 
     from ..data import archives as archlib
@@ -134,16 +140,18 @@ def worker_main(argv: List[str]):
     from . import launch
     from . import mesh as meshlib
 
-    plans, utt2src = _plans(work)
+    plans, utt2src = _plans(work, num_archives)
     # per-host archive materialisation over the shared dir (idempotent —
-    # phase 2 after an interruption finds them already on disk)
+    # phase 2 after an interruption finds them already on disk; with
+    # hosts > archives some hosts materialise NOTHING and must still hit
+    # the barrier)
     for i in launch.shard_archives(len(plans)):
         archlib.materialize_archive(
             plans[i], os.path.join(work, f"egs.{i}.xta"),
             lambda u: kio.read_mat("%s:%d" % utt2src[u]))
     multihost_utils.sync_global_devices("mc_harness_egs")
 
-    mesh = meshlib.make_mesh(data=4, model=1)
+    mesh = meshlib.make_mesh(data=n_procs * local_devices, model=1)
     tr = Trainer(_train_cfg(), os.path.join(work, "exp"), mesh=mesh,
                  feat_dim=FEAT)
     lo, hi = launch.host_local_batch_slice(GLOBAL_MB)
@@ -179,7 +187,8 @@ def worker_main(argv: List[str]):
         # each host forwards its own utterance shard on local devices
         params = jax.device_get(tr.params)
         state = jax.device_get(tr.state)
-        utts = sorted(utt2src)[pid::2]
+        utts = sorted(utt2src)[pid::n_procs]
+        out["num_utts_local"] = len(utts)
         out["xv"] = _extract_utts(work, params, state, utts, utt2src)
     with open(os.path.join(work, f"mc_result_p{phase}_{pid}.json"),
               "w") as f:
@@ -190,7 +199,8 @@ _WORKER_TEMPLATE = """
 import sys, os
 import jax
 jax.config.update("jax_platforms", "cpu")
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                           + os.environ.get("MC_LOCAL_DEVICES", "2"))
 sys.path.insert(0, {repo!r})
 from xvector_tpu.parallel import mc_harness
 mc_harness.worker_main(sys.argv[1:])
@@ -205,7 +215,9 @@ def _free_port() -> int:
     return port
 
 
-def _spawn_pair(work: str, phase: int, timeout: int = 420):
+def _spawn_group(work: str, phase: int, timeout: int = 420,
+                 n_procs: int = 2, local_devices: int = 2,
+                 num_archives: int = NUM_ARCHIVES):
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     worker = os.path.join(work, "mc_worker.py")
@@ -215,11 +227,13 @@ def _spawn_pair(work: str, phase: int, timeout: int = 420):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    env["MC_LOCAL_DEVICES"] = str(local_devices)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(pid), work, str(phase)],
+        [sys.executable, worker, str(port), str(pid), work, str(phase),
+         str(n_procs), str(local_devices), str(num_archives)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in (0, 1)]
+        for pid in range(n_procs)]
     outs = []
     try:
         for p in procs:
@@ -242,27 +256,40 @@ def _spawn_pair(work: str, phase: int, timeout: int = 420):
                 f"mc_harness phase-{phase} worker failed:\n{o[-4000:]}")
     return [json.load(open(os.path.join(work,
                                         f"mc_result_p{phase}_{pid}.json")))
-            for pid in (0, 1)]
+            for pid in range(n_procs)]
 
 
-def run_two_process(work: str, interrupt: bool = True) -> Dict:
-    """The full two-controller flow.  ``interrupt=True`` runs phase 1
+def run_group(work: str, interrupt: bool = True, n_procs: int = 2,
+              local_devices: int = 2,
+              num_archives: int = NUM_ARCHIVES) -> Dict:
+    """The full N-controller flow.  ``interrupt=True`` runs phase 1
     (train, deterministic stop after STOP_AFTER iterations, exit) then
     phase 2 with FRESH processes (resume from the shared orbax
     checkpoints, finish, extract); ``interrupt=False`` merges both phases
-    into one uninterrupted pair by running phase 2 directly."""
+    into one uninterrupted group by running phase 2 directly."""
     build_corpus(work)
     if interrupt:
-        res1 = _spawn_pair(work, phase=1)
+        res1 = _spawn_group(work, phase=1, n_procs=n_procs,
+                            local_devices=local_devices,
+                            num_archives=num_archives)
         assert all(r["final_iterations"] == STOP_AFTER for r in res1), res1
-    res2 = _spawn_pair(work, phase=2)
-    assert res2[0]["checksum"] == res2[1]["checksum"], res2
-    xv = dict(res2[0]["xv"])
-    xv.update(res2[1]["xv"])            # merge utterance shards
+    res2 = _spawn_group(work, phase=2, n_procs=n_procs,
+                        local_devices=local_devices,
+                        num_archives=num_archives)
+    assert all(r["checksum"] == res2[0]["checksum"] for r in res2), res2
+    xv: Dict[str, list] = {}
+    for r in res2:
+        xv.update(r["xv"])              # merge utterance shards
     return {"final_iterations": res2[0]["final_iterations"],
             "checksum": res2[0]["checksum"], "w00": res2[0]["w00"],
             "xv": {u: np.asarray(v, np.float32) for u, v in xv.items()},
+            "shard_sizes": [r["num_utts_local"] for r in res2],
             "interrupted": interrupt}
+
+
+def run_two_process(work: str, interrupt: bool = True) -> Dict:
+    """Backward-compatible two-controller wrapper around run_group."""
+    return run_group(work, interrupt=interrupt, n_procs=2)
 
 
 def run_single_controller(work: str, devices) -> Dict:

@@ -13,7 +13,8 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["export_h5", "import_h5", "import_reference_h5"]
+__all__ = ["export_h5", "import_h5", "import_reference_h5",
+           "export_reference_h5", "reference_named_weights"]
 
 
 def _walk(tree: Any, prefix: str = ""):
@@ -54,6 +55,52 @@ def import_h5(path: str, like_params: Any, like_state: Any = None):
         state = (fill(like_state, "/state", f)
                  if like_state is not None else None)
     return params, state
+
+
+def reference_named_weights(cfg, params, state) -> dict:
+    """Map this framework's (params, state) pytrees to the REFERENCE's
+    TF1 variable names (``models.py:55-101`` scopes + ``tf_block.py``
+    BN variables) — the inverse of :func:`import_reference_h5`'s naming.
+
+    Returns ``{name: np.float32 array}`` with names like
+    ``frame_level_info_layer-0/w:0`` exactly as the reference's h5
+    export writes them, so a model trained HERE migrates back into the
+    reference implementation (executed round-trip asserted in
+    ``tests/test_reference_executed.py``)."""
+    out = {}
+
+    def put_layer(scope, lay, st):
+        out[scope + "/w:0"] = lay["w"]
+        out[scope + "/b:0"] = lay["b"]
+        out[scope + "/gamma:0"] = lay["bn"]["gamma"]
+        out[scope + "/beta:0"] = lay["bn"]["beta"]
+        out[scope + "/mean:0"] = st["mean"]
+        out[scope + "/variance:0"] = st["var"]
+        if "alpha" in lay:
+            out[scope + "/prelu/prelu:0"] = lay["alpha"]
+
+    for i in range(len(cfg.channels)):
+        put_layer("frame_level_info_layer-%d" % i,
+                  params["frame"][i], state["frame"][i])
+    for i in range(len(cfg.embed_dims)):
+        put_layer("embed_layer-%d" % i,
+                  params["embed"][i], state["embed"][i])
+    if cfg.pooling == "attention":
+        out["attention/w:0"] = params["attention"]["w"]
+        out["attention/b:0"] = params["attention"]["b"]
+        out["attention/v:0"] = params["attention"]["v"]
+    out["output/w:0"] = params["output"]["w"]
+    out["output/b:0"] = params["output"]["b"]
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
+def export_reference_h5(path: str, cfg, params, state):
+    """Write ``model.h5`` in the reference's naming scheme (see
+    :func:`reference_named_weights`)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        for name, arr in reference_named_weights(cfg, params, state).items():
+            f.create_dataset(name, data=arr)
 
 
 def import_reference_h5(path: str, cfg, num_classes: int):

@@ -93,8 +93,18 @@ def bench_train(jax, jnp):
 
 
 def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
-                        rounds: int = 3, blocks: int = 8):
-    """ms/minibatch of the block train step for one (topology, head)."""
+                        rounds: int = 3, blocks: int = 8,
+                        dense: bool = True, optimizer_factory=None,
+                        return_detail: bool = False):
+    """ms-per-minibatch timing of the block train step for one
+    (topology, head).  THE one honest-timing harness (sync by scalar
+    pull, best-of-rounds, 16-minibatch blocks per dispatch) — the perf
+    tools (tools/bench_dense.py, tools/bench_adam_mu.py) parameterize
+    this instead of carrying their own copies.
+
+    ``dense`` selects the mask-free twin (the production dispatch for
+    full blocks); ``optimizer_factory()`` overrides the optax transform;
+    ``return_detail`` also returns (compile_s, last_loss)."""
     from xvector_tpu.models import tdnn
     from xvector_tpu.train.trainer import TrainConfig, make_block_train_step
     import optax
@@ -107,9 +117,10 @@ def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
     model_cfg = tdnn.MODEL_ZOO[model]
     params, state = tdnn.init_params(jax.random.PRNGKey(0), model_cfg,
                                      NUM_SPEAKERS)
-    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    opt = (optimizer_factory() if optimizer_factory is not None else
+           optax.inject_hyperparams(optax.adam)(learning_rate=1e-3))
     opt_state = opt.init(params)
-    step = make_block_train_step(model_cfg, cfg, opt, dense=True)
+    step = make_block_train_step(model_cfg, cfg, opt, dense=dense)
     rng = np.random.RandomState(0)
     xs = jnp.asarray(rng.randn(block, MINIBATCH, FRAMES, FEAT_DIM)
                      .astype(np.float16))
@@ -119,9 +130,11 @@ def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
             jnp.full((block,), MINIBATCH, jnp.int32),
             jnp.float32(1e-3), jnp.float32(1.0), jnp.float32(1.0),
             jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
     params, opt_state, state, m = step(params, opt_state, state, xs, ys,
                                        *args)
     np.asarray(m["loss"])
+    compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -130,6 +143,8 @@ def _measure_train_step(jax, jnp, model: str, head: str = "softmax",
                                                xs, ys, *args)
         np.asarray(m["loss"])
         best = min(best, (time.perf_counter() - t0) / (blocks * block))
+    if return_detail:
+        return best, compile_s, float(np.asarray(m["loss"]))
     return best
 
 

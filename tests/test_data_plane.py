@@ -182,10 +182,12 @@ def test_deterministic_length_strategy():
     assert deterministic_chunk_length(1, 9, 300, 300) == 300
 
     utt2len, utt2label = _toy_corpus()
+    # snap_to_bucket off: this test asserts the reference FORMULA values
     cfg2 = A.AllocatorConfig(min_frames=100, max_frames=200,
                              minibatch_size=8, num_repeats=4,
                              frames_per_iter=50_000, seed=1,
-                             length_strategy="deterministic")
+                             length_strategy="deterministic",
+                             snap_to_bucket=False)
     plans = list(A.allocate_archives(utt2len, utt2label, cfg2,
                                      num_archives=3))
     # one deterministic length per archive, increasing geometrically
@@ -339,10 +341,12 @@ def test_kaldi_original_deterministic_ladder():
     """With length_strategy=deterministic the archive lengths follow the
     geometric min→max ladder (create_egs.py:223-231)."""
     utt2len, utt2label = _toy_corpus()
+    # snap_to_bucket off: this test asserts the reference FORMULA values
     cfg = A.AllocatorConfig(min_frames=100, max_frames=400, minibatch_size=4,
                             num_repeats=8, frames_per_iter=2_000, seed=3,
                             strategy="kaldi_original",
-                            length_strategy="deterministic")
+                            length_strategy="deterministic",
+                            snap_to_bucket=False)
     n = 4
     plans = list(A.allocate_archives(utt2len, utt2label, cfg,
                                      num_archives=n))
@@ -383,3 +387,25 @@ def test_unknown_strategy_rejected():
     cfg = A.AllocatorConfig(strategy="bogus")
     with pytest.raises(ValueError):
         list(A.allocate_archives(utt2len, utt2label, cfg, num_archives=1))
+
+
+def test_snap_to_bucket_fills_padded_shapes_exactly():
+    """With snapping on (the default) every planned minibatch length IS
+    its padded bucket shape — no pad frames, and the trainer's dense
+    fast path fires on every block; lengths stay inside [min, max]."""
+    utt2len, utt2label = _toy_corpus()
+    cfg = A.AllocatorConfig(min_frames=100, max_frames=400,
+                            minibatch_size=8, num_repeats=4,
+                            frames_per_iter=50_000, seed=5,
+                            length_bucket=32)
+    plans = list(A.allocate_archives(utt2len, utt2label, cfg,
+                                     num_archives=2))
+    lengths = set()
+    for p in plans:
+        for mb in p.minibatches:
+            assert mb.length == mb.padded_length, (mb.length,
+                                                   mb.padded_length)
+            assert mb.length % 32 == 0
+            assert cfg.min_frames <= mb.length <= cfg.max_frames
+            lengths.add(mb.length)
+    assert len(lengths) > 1          # variety preserved on the grid

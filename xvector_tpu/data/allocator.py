@@ -137,6 +137,16 @@ class AllocatorConfig:
     accepted_overlap: float = 0.2   # get_egs.sh --accepted-overlap default
     max_offset_attempts: int = 10
     length_bucket: int = 32         # TPU shape-bucketing granularity
+    # snap each sampled chunk length onto the bucket grid (largest
+    # multiple of length_bucket <= draw, floored at the smallest multiple
+    # >= min_frames).  Every minibatch then fills its padded shape
+    # EXACTLY: no wasted pad frames (~5% of compute at bucket 32) and the
+    # trainer's mask-free dense fast path fires on every block (another
+    # ~7%; DESIGN.md round-4).  The draw RNG sequence is unchanged, so
+    # False recovers the reference's exact length distribution
+    # (create_egs.py:503-513 per-minibatch uniform draw) at the cost of
+    # masked padding.
+    snap_to_bucket: bool = True
     seed: int = 2468                # run_xvector.sh:85
     # chunk-length strategy: "random" (active reference path, per-minibatch
     # uniform draw) or "deterministic" (create_egs.py:223-231: geometric
@@ -195,6 +205,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _snap_length(length: int, cfg: "AllocatorConfig") -> int:
+    """Largest bucket multiple <= length, floored at the smallest bucket
+    multiple >= min_frames; identity when snapping is off or the bucket
+    grid has no point inside [min_frames, max_frames]."""
+    if not cfg.snap_to_bucket or cfg.length_bucket <= 1:
+        return length
+    lo = _round_up(cfg.min_frames, cfg.length_bucket)
+    if lo > cfg.max_frames:
+        return length
+    snapped = (length // cfg.length_bucket) * cfg.length_bucket
+    return max(lo, min(snapped, cfg.max_frames))
+
+
 def deterministic_chunk_length(archive_id: int, num_archives: int,
                                min_frames: int, max_frames: int) -> int:
     """Geometric min→max interpolation across archives
@@ -210,9 +233,10 @@ def _archive_length(cfg: AllocatorConfig, rng: random.Random,
     """One chunk length for a whole archive (kaldi_original/whole
     strategies, create_egs.py:295-302 / :394-401)."""
     if cfg.length_strategy == "deterministic":
-        return deterministic_chunk_length(arch_i, num_archives,
-                                          cfg.min_frames, cfg.max_frames)
-    return rng.randint(cfg.min_frames, cfg.max_frames)
+        return _snap_length(
+            deterministic_chunk_length(arch_i, num_archives,
+                                       cfg.min_frames, cfg.max_frames), cfg)
+    return _snap_length(rng.randint(cfg.min_frames, cfg.max_frames), cfg)
 
 
 def _pack_minibatches(chunks: List[ChunkSpec], length: int,
@@ -327,6 +351,7 @@ def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
                     arch_i, num_archives, cfg.min_frames, cfg.max_frames)
             else:
                 length = rng.randint(cfg.min_frames, cfg.max_frames)
+            length = _snap_length(length, cfg)
             chunks: List[ChunkSpec] = []
             while len(chunks) < cfg.minibatch_size:
                 if pool_pos >= len(draw_pool):

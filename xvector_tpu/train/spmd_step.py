@@ -66,8 +66,12 @@ def _local_mask(batch_shape, t_len, n_rows, local_b: int):
 
 def make_shardmap_block_train_step(model_cfg: tdnn.TdnnConfig, cfg,
                                    optimizer: optax.GradientTransformation,
-                                   mesh):
-    """Same signature/contract as ``trainer.make_block_train_step``."""
+                                   mesh, dense: bool = False):
+    """Same signature/contract as ``trainer.make_block_train_step``,
+    including the ``dense=True`` mask-free twin for certified-full
+    blocks: BN moments and loss reductions keep their ``axis_name``
+    psums (global statistics), only the mask build and masked
+    multiplies drop out."""
     if mesh.shape.get("model", 1) != 1:
         raise ValueError("shard_map step needs a model axis of 1 "
                          "(sharded-CE nests its own shard_map)")
@@ -78,7 +82,10 @@ def make_shardmap_block_train_step(model_cfg: tdnn.TdnnConfig, cfg,
     def loss_fn(params, state, batch, labels, t_len, n_rows, dropout_keep,
                 rng):
         local_b = batch.shape[0]
-        mask, weight = _local_mask(batch.shape, t_len, n_rows, local_b)
+        if dense:
+            mask, weight = None, None
+        else:
+            mask, weight = _local_mask(batch.shape, t_len, n_rows, local_b)
         out = tdnn.apply(model_cfg, params, state, batch, mask=mask,
                          row_weight=weight, train=True,
                          dropout_keep=dropout_keep, rng=rng,

@@ -292,11 +292,16 @@ class Trainer:
         else:
             raise ValueError(f"unknown spmd_step {cfg.spmd_step!r}")
         # mask-free twin of the block step for certified-full blocks
-        # (gspmd only: the shard_map step threads masks explicitly)
-        self._block_dense_fn = (
-            make_block_train_step(self.model_cfg, cfg, self.optimizer,
-                                  self.mesh, dense=True)
-            if cfg.dense_fastpath and cfg.spmd_step == "gspmd" else None)
+        if not cfg.dense_fastpath:
+            self._block_dense_fn = None
+        elif cfg.spmd_step == "shard_map":
+            from .spmd_step import make_shardmap_block_train_step as _mk_sm
+            self._block_dense_fn = _mk_sm(self.model_cfg, cfg,
+                                          self.optimizer, self.mesh,
+                                          dense=True)
+        else:
+            self._block_dense_fn = make_block_train_step(
+                self.model_cfg, cfg, self.optimizer, self.mesh, dense=True)
         self._eval_fn = make_eval_step(self.model_cfg, cfg)
         self._metrics_path = os.path.join(work_dir, "metrics.jsonl")
         import threading

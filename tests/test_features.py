@@ -403,9 +403,9 @@ def test_dct_matrix_matches_scipy():
     """Cross-check the production DCT matrix against scipy's orthonormal
     DCT-II — an implementation neither this repo nor the oracle authored.
     (The spectrum stage is already cross-checked against np.fft.rfft in
-    the oracle; what remains oracle-only after this: the povey window
-    and the Kaldi mel-bank edge construction, both Kaldi-specific with
-    no independent implementation in this environment.)"""
+    the oracle; the mel bank and the povey window's hann base are
+    cross-checked against tf.signal below; after those, only the ^0.85
+    povey exponent — a one-token Kaldi constant — remains oracle-only.)"""
     import scipy.fft
     from xvector_tpu.ops.features import _dct_matrix
 
@@ -416,3 +416,61 @@ def test_dct_matrix_matches_scipy():
     ref = scipy.fft.dct(np.eye(num_bins), type=2, norm="ortho",
                         axis=1)[:, :num_ceps].T
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def _tf_eval(tf, t):
+    """Evaluate a tf tensor whether eager is on or another test module has
+    called ``tf.compat.v1.disable_v2_behavior()`` (graph mode)."""
+    if hasattr(t, "numpy") and tf.executing_eagerly():
+        return t.numpy()
+    with tf.compat.v1.Session() as sess:
+        return sess.run(t)
+
+
+def test_mel_banks_match_tf_signal():
+    """Cross-check the Kaldi-layout mel filterbank against
+    ``tf.signal.linear_to_mel_weight_matrix`` — an independent
+    implementation of the same HTK-mel triangle construction
+    (slopes computed in the mel domain, edges uniform in mel between
+    mel(low) and mel(high); mel-computations.cc MelBanks).  Layout
+    differences bridged here, not in the implementations: tf is
+    (num_spectrogram_bins, num_mel) including the nyquist bin and
+    1127.01048-exact (2595·log10); ours is (num_mel, fft//2)
+    nyquist-excluded with Kaldi's rounded 1127.0 — worst-case weight
+    difference from the constant is ~3e-6 at 8 kHz."""
+    tf = pytest.importorskip("tensorflow")
+    cfg = F.MfccConfig()        # 8 kHz, fft 256, 23 bins, 20–3700 Hz
+    ours = F._mel_banks(cfg)
+    tfm = _tf_eval(tf, tf.signal.linear_to_mel_weight_matrix(
+        num_mel_bins=cfg.num_mel_bins,
+        num_spectrogram_bins=cfg.fft_size // 2 + 1,
+        sample_rate=cfg.sample_rate,
+        lower_edge_hertz=float(cfg.low_freq),
+        upper_edge_hertz=float(cfg.high_freq),
+        dtype=tf.float64))
+    ref = tfm[:cfg.fft_size // 2].T          # drop nyquist, (23, 128)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # and the nyquist column our layout drops really carries no weight
+    # at these edge frequencies (high_freq 3700 < 4000)
+    assert np.abs(tfm[cfg.fft_size // 2]).max() == 0.0
+
+
+def test_povey_window_base_matches_tf_hann():
+    """The povey window is hann^0.85 with the N-1 denominator
+    (feature-window.cc).  ``tf.signal.hann_window(periodic=False)`` is an
+    independent implementation of exactly that hann base — this pins the
+    subtle part (symmetric N-1 denominator, not the periodic-N FFT
+    convention); the ^0.85 exponent is applied to both sides."""
+    tf = pytest.importorskip("tensorflow")
+    cfg = F.MfccConfig()
+    ours = F._window_fn(cfg)
+    hann = _tf_eval(tf, tf.signal.hann_window(cfg.frame_length,
+                                               periodic=False,
+                                               dtype=tf.float64))
+    np.testing.assert_allclose(ours, hann ** 0.85, atol=1e-6)
+    # the wrong (periodic) convention is measurably different — the
+    # cross-check has teeth
+    per = _tf_eval(tf, tf.signal.hann_window(cfg.frame_length,
+                                              periodic=True,
+                                              dtype=tf.float64))
+    assert np.abs(per ** 0.85 - ours).max() > 1e-3

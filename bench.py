@@ -165,28 +165,41 @@ def bench_variants(jax, jnp):
 
 def bench_features(jax, jnp):
     """Batched featurization (mfcc_batch + energy_vad_batch) throughput
-    in audio-seconds/s — the corpus-scale make_features path."""
+    in audio-seconds/s — the corpus-scale make_features path.
+
+    Methodology (changed round 4): the front-end's device time
+    (~0.24 ms for 16×8 s) is far below this tunnel's ~4 ms/dispatch
+    floor, so a per-dispatch measurement reports transport, not the
+    program (the pre-r4 42k number was ~94% tunnel).  A 64-iteration
+    lax.scan amortizes the dispatch cost the way bench_extract does;
+    the single-element carry update blocks loop-invariant hoisting
+    without the full-buffer carry copy."""
     from xvector_tpu.ops import features as F
     b, s = 16, 8 * 8000       # 16 × 8 s utterances
     rng = np.random.RandomState(0)
     waves = jnp.asarray((rng.randn(b, s) * 2000).astype(np.float32))
     lens = jnp.full((b,), s, jnp.int32)
     cfg = F.MfccConfig(dither=0.0)
+    n_inner, calls = 64, 4
 
     @jax.jit
     def run(w, n):
-        feats, mask = F.mfcc_batch(w, n, cfg)
-        vad = F.energy_vad_batch(feats, mask)
-        return feats[0, 0, 0] + vad[0, 0]
+        def body(c, _):
+            feats, mask = F.mfcc_batch(c, n, cfg)
+            vad = F.energy_vad_batch(feats, mask)
+            out = feats[0, 0, 0] + vad[0, 0]
+            return c.at[0, 0].add(1e-6 * out), out
+        _, outs = jax.lax.scan(body, w, None, length=n_inner)
+        return outs
 
     np.asarray(run(waves, lens))
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(8):
+        for _ in range(calls):
             out = run(waves, lens)
         np.asarray(out)
-        best = min(best, (time.perf_counter() - t0) / 8)
+        best = min(best, (time.perf_counter() - t0) / (calls * n_inner))
     return b * (s / 8000) / best
 
 

@@ -603,7 +603,12 @@ def test_reverse_migration_into_reference(ref, tmp_path):
     _assert_close(tf_emb0, ours["xvector"], 1e-4, "reverse xvector")
 
 
-def test_executed_training_trajectory_parity(ref, tmp_path):
+@pytest.mark.parametrize("class_name,preset", [
+    ("ModelWithoutDropout", "no_dropout"),
+    ("ModelL2LossWithoutDropoutLReluAttention", "l2_lrelu_attention"),
+], ids=["no_dropout", "l2_lrelu_attention"])
+def test_executed_training_trajectory_parity(ref, class_name, preset,
+                                             tmp_path):
     """Multi-step training-LOOP parity against the executed reference,
     judged against the reference's own chaos floor.
 
@@ -621,8 +626,12 @@ def test_executed_training_trajectory_parity(ref, tmp_path):
     reference's divergence from ITSELF.  A semantic difference (wrong
     EMA decay, moment formula, Adam epsilon placement) compounds
     systematically and blows past the self-divergence band; measured,
-    our trajectory sits AT the floor (ratio ~1.1 per tensor)."""
-    class_name, preset = "ModelWithoutDropout", "no_dropout"
+    our trajectory sits AT the floor (ratio ~1.1 per tensor).
+
+    Parametrized over the flagship AND the attention+L2 variant so the
+    loop-composition claim also covers the square attention projection,
+    the beta-scaled L2 term, and lrelu — the pieces with their own
+    single-step tests above."""
     cfg = tdnn.MODEL_ZOO[preset]
     K = 24
     batches = [_batch(1000 + s) for s in range(K)]

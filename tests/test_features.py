@@ -474,3 +474,46 @@ def test_povey_window_base_matches_tf_hann():
                                               periodic=True,
                                               dtype=tf.float64))
     assert np.abs(per ** 0.85 - ours).max() > 1e-3
+
+
+@pytest.mark.parametrize("kw", [
+    dict(raw_energy=False),                  # legacy frames-chain path
+    dict(remove_dc_offset=False),            # fold without the rank-1 term
+    dict(preemph=0.0),                       # fold without the band term
+    dict(use_energy=False, cepstral_lifter=0.0),
+    dict(snip_edges=True),
+], ids=["raw_energy_off", "no_dc", "no_preemph", "no_energy",
+        "snip_edges"])
+def test_mfcc_batch_matches_single_config_variants(kw):
+    """The folded fast path folds a DIFFERENT matrix per config flag
+    (and raw_energy=False takes the frames-chain path entirely) — each
+    variant must still match the single-utterance reference per row."""
+    cfg = F.MfccConfig(dither=0.0, **kw)
+    lens = [8000, 5000, 123]
+    waves, n = _ragged_waves(lens, seed=11)
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    feats = np.asarray(feats)
+    for i, ln in enumerate(lens):
+        ref = np.asarray(F.mfcc(waves[i, :ln], cfg))
+        t = ref.shape[0]
+        assert np.asarray(mask)[i].sum() == t
+        np.testing.assert_allclose(feats[i, :t], ref, rtol=1e-4, atol=1e-3)
+
+
+def test_mfcc_batch_dither_deterministic_and_bounded():
+    """Dither draws are keyed: the same key reproduces bit-identical
+    features (incl. the short rows whose every frame is tail-fixed),
+    a different key does not, and the dithered output stays near the
+    clean one (dither 1.0 against int16-scale audio)."""
+    import jax
+    cfg = F.MfccConfig()                      # dither=1.0
+    lens = [8000, 300]                        # 300 samples: all-tail row
+    waves, n = _ragged_waves(lens, seed=3)
+    a1, _ = F.mfcc_batch(waves, n, cfg, key=jax.random.PRNGKey(5))
+    a2, _ = F.mfcc_batch(waves, n, cfg, key=jax.random.PRNGKey(5))
+    b1, _ = F.mfcc_batch(waves, n, cfg, key=jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.abs(np.asarray(a1) - np.asarray(b1)).max() > 0.0
+    clean, mask = F.mfcc_batch(waves, n, F.MfccConfig(dither=0.0))
+    d = np.abs(np.asarray(a1) - np.asarray(clean)) * np.asarray(mask)[..., None]
+    assert d.max() < 1.0                      # noise, not corruption

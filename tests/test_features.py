@@ -320,6 +320,30 @@ def test_mfcc_batch_matches_single():
         np.testing.assert_allclose(feats[i, :t], ref, rtol=1e-4, atol=1e-3)
 
 
+def test_mfcc_batch_dc_offset_heavy():
+    """DC offset >> AC power (quiet audio on a biased channel): the folded
+    fast path's energy must be computed from mean-subtracted samples, NOT
+    the algebraically equal sum(x^2)-sum(x)^2/L which cancels
+    catastrophically in f32 (ADVICE r4: up to 1.36 nats of C0 error).
+    The batch row must match the single-utterance path, which mean-subtracts
+    before squaring."""
+    cfg = F.MfccConfig(dither=0.0)
+    rng = np.random.RandomState(7)
+    lens = [8000, 4000]
+    s = max(lens)
+    waves = np.zeros((len(lens), s), np.float32)
+    for i, ln in enumerate(lens):
+        waves[i, :ln] = (8000.0 + 5.0 * rng.randn(ln)).astype(np.float32)
+    n = np.asarray(lens, np.int32)
+    feats, mask = F.mfcc_batch(waves, n, cfg)
+    feats = np.asarray(feats)
+    for i, ln in enumerate(lens):
+        ref = np.asarray(F.mfcc(waves[i, :ln], cfg))
+        t = ref.shape[0]
+        assert np.asarray(mask)[i].sum() == t
+        np.testing.assert_allclose(feats[i, :t], ref, rtol=1e-4, atol=2e-3)
+
+
 def test_mfcc_batch_buffer_shorter_than_reflection():
     """A batch whose padded buffer is narrower than the snip-edges=false
     left-reflection width (60 samples at 8 kHz defaults) must not crash
@@ -481,9 +505,10 @@ def test_povey_window_base_matches_tf_hann():
     dict(remove_dc_offset=False),            # fold without the rank-1 term
     dict(preemph=0.0),                       # fold without the band term
     dict(use_energy=False, cepstral_lifter=0.0),
+    dict(raw_energy=False, use_energy=False),  # fast path (energy unused)
     dict(snip_edges=True),
 ], ids=["raw_energy_off", "no_dc", "no_preemph", "no_energy",
-        "snip_edges"])
+        "no_raw_no_energy", "snip_edges"])
 def test_mfcc_batch_matches_single_config_variants(kw):
     """The folded fast path folds a DIFFERENT matrix per config flag
     (and raw_energy=False takes the frames-chain path entirely) — each

@@ -275,9 +275,16 @@ def _folded_ceps(x, cfg: MfccConfig, key):
         x = x + cfg.dither * jax.random.normal(key, x.shape, x.dtype)
     eps = jnp.float32(np.finfo(np.float32).eps)
     length = cfg.frame_length
-    sums = jnp.sum(x, axis=-1)
-    sq = jnp.sum(x * x, axis=-1)
-    energy = sq - sums * sums / length if cfg.remove_dc_offset else sq
+    if cfg.remove_dc_offset:
+        # Mean-subtract BEFORE squaring: the algebraically equal
+        # sum(x^2) - sum(x)^2/L cancels catastrophically in f32 when a
+        # frame's DC offset dominates its AC power (e.g. quiet audio on a
+        # biased channel), corrupting C0 and downstream energy-VAD.  XLA
+        # fuses the broadcast-subtract into the reduction — no extra pass.
+        mu = jnp.sum(x, axis=-1) / length
+        energy = jnp.sum((x - mu[..., None]) ** 2, axis=-1)
+    else:
+        energy = jnp.sum(x * x, axis=-1)
     log_energy = jnp.log(jnp.maximum(energy, eps))
     hi = jax.lax.Precision.HIGHEST
     acc = jnp.dot(x, jnp.asarray(_folded_dft(cfg)), precision=hi)
@@ -438,6 +445,17 @@ def mfcc_batch(waves: jnp.ndarray, n_samples: jnp.ndarray,
     # clamp: an n_samples beyond the padded buffer would otherwise claim
     # phantom frames
     n_samples = jnp.minimum(n_samples.astype(jnp.int32), jnp.int32(s))
+    if cfg.remove_dc_offset:
+        # Per-frame DC removal is invariant to any constant shift of its
+        # input (D(x − c) = D x), so subtract each row's global mean up
+        # front: the folded-DFT f32 matmul and the frame-energy reduction
+        # then see near-zero-mean samples instead of relying on exact
+        # cancellation of a large DC term — which loses ~1e-2 absolute on
+        # cepstra when the DC offset dominates the AC power (ADVICE r4).
+        valid = jnp.arange(s)[None, :] < n_samples[:, None]
+        row_mean = (jnp.sum(jnp.where(valid, waves, 0.0), axis=1)
+                    / jnp.maximum(n_samples.astype(jnp.float32), 1.0))
+        waves = jnp.where(valid, waves - row_mean[:, None], 0.0)
 
     # Framing WITHOUT a gather (a (B, T*length) take_along_axis is the
     # single most expensive op of the whole front-end on TPU — ~48 ms for

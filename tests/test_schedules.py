@@ -35,9 +35,14 @@ def test_dropout_schedule_recipe_string():
     assert S.dropout_proportion(pts, 1.0) == 0.0
 
 
+def test_dropout_schedule_bare_interior():
+    # a bare interior entry means "at half of training"
+    # (ze_utils.py:391-397); executed parity in test_reference_dataplane
+    assert S.parse_dropout_schedule("0,0.5,0") \
+        == [(0.0, 0.0), (0.5, 0.5), (1.0, 0.0)]
+
+
 def test_dropout_schedule_invalid():
-    with pytest.raises(ValueError):
-        S.parse_dropout_schedule("0,0.5,0")   # interior without @
     with pytest.raises(ValueError):
         S.parse_dropout_schedule("0,0.1@0.8,0.2@0.3,0")  # not ascending
 

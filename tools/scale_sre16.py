@@ -206,7 +206,11 @@ def run_variant(corpus: str, work: str, stream: bool,
     expected |= set(combine_iterations(n_iter, info["num_archives"], 8))
     missing = expected - set(kept)
     assert not missing, f"GC deleted required checkpoints: {missing}"
-    return {"wall_s": round(wall, 1), "stream": stream,
+    walls_path = os.path.join(work, "stage_walls.json")
+    stage_walls = (json.load(open(walls_path))
+                   if os.path.exists(walls_path) else {})
+    return {"wall_s": round(wall, 1), "stage_walls": stage_walls,
+            "stream": stream,
             "gc_extra_kept": sorted(set(kept) - expected),
             "num_archives": info["num_archives"],
             "num_iterations": len(train_loss),

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -190,6 +191,26 @@ def main(argv=None):
     from ..train.trainer import TrainConfig
     from ..extract.extractor import ExtractorConfig, speaker_means
 
+    # per-stage wall clocks → <work_dir>/stage_walls.json, so scale-run
+    # artifacts can attribute an e2e wall delta to a stage instead of
+    # guessing at tunnel-day variance (VERDICT r4 weak #2)
+    stage_walls: Dict[str, float] = {}
+    _lap_t = [time.time()]
+
+    def lap(name: str):
+        now = time.time()
+        stage_walls[name] = round(
+            stage_walls.get(name, 0.0) + now - _lap_t[0], 1)
+        _lap_t[0] = now
+
+    def write_walls():
+        stage_walls["total"] = round(sum(
+            v for k, v in stage_walls.items() if k != "total"), 1)
+        os.makedirs(args.work_dir, exist_ok=True)
+        with open(os.path.join(args.work_dir, "stage_walls.json"),
+                  "w") as f:
+            json.dump(stage_walls, f, indent=1)
+
     print("== stage 0: corpus prep")
     train_data, sre_speakers = build_train_corpus(args)
     eval_full = corpora.make_sre16_eval_full(
@@ -260,13 +281,17 @@ def main(argv=None):
         train_data, provider = recipe.augment(
             train_data, provider, rirs=rirs, noises=noises, musics=musics,
             speeches=speeches)
+    lap("prep_augment")
 
     print(f"== stage 1: features (train: {len(train_data)} utts)")
     train_feats = recipe.make_features(train_data, provider, split="train")
+    lap("features")
     print("== stage 4-6: egs + train")
     train_dir, _valid_dir, num_targets = recipe.make_egs(train_feats)
     print(f"   {num_targets} speakers, {recipe.num_archives} archives")
+    lap("egs")
     trainer = recipe.train(num_targets)
+    lap("train")
 
     print("== stage 7: extraction")
 
@@ -304,6 +329,7 @@ def main(argv=None):
     # extract_xvectors.sh:100-102 ivector-mean)
     spk_enroll, num_utts = speaker_means(enroll_utt_xv,
                                          enroll_data.utt2spk)
+    lap("extract")
 
     print("== stage 8-10: back-end (dual scoring)")
     trials = [(m, s, l) for m, s, l in trials
@@ -314,6 +340,7 @@ def main(argv=None):
         # report and stop instead of crashing inside the scorer
         print("   no scorable trials (missing evaluation key or no "
               "model/segment overlap); skipping scoring")
+        write_walls()
         return {}
     if major_xv:
         res = recipe.score_sre16(
@@ -354,6 +381,8 @@ def main(argv=None):
         with open(os.path.join(args.work_dir,
                                f"scores_{variant}.tsv"), "w") as f:
             f.write("\n".join(kaldi_scores_to_nist_tsv(score_lines)) + "\n")
+    lap("backend")
+    write_walls()
     with open(out_path, "w") as f:
         json.dump(printable, f, indent=1)
     print(f"   results -> {out_path}")

@@ -90,11 +90,12 @@ def _plans(work: str, num_archives: int = NUM_ARCHIVES):
     return plans, utt2src
 
 
-def _train_cfg():
+def _train_cfg(final_combine: bool = False):
     from ..train.trainer import TrainConfig
     return TrainConfig(num_targets=NUM_SPK, model="tiny",
                        compute_dtype="float32", block_size=2,
-                       num_epochs=NUM_EPOCHS)
+                       num_epochs=NUM_EPOCHS, final_combine=final_combine,
+                       combine_opt_steps=12 if final_combine else 80)
 
 
 def _extract_utts(work: str, params, state, utts: List[str],
@@ -127,6 +128,7 @@ def worker_main(argv: List[str]):
     n_procs = int(argv[4]) if len(argv) > 4 else 2
     local_devices = int(argv[5]) if len(argv) > 5 else 2
     num_archives = int(argv[6]) if len(argv) > 6 else NUM_ARCHIVES
+    final_combine = bool(int(argv[7])) if len(argv) > 7 else False
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=n_procs, process_id=pid)
     assert jax.process_count() == n_procs
@@ -152,8 +154,8 @@ def worker_main(argv: List[str]):
     multihost_utils.sync_global_devices("mc_harness_egs")
 
     mesh = meshlib.make_mesh(data=n_procs * local_devices, model=1)
-    tr = Trainer(_train_cfg(), os.path.join(work, "exp"), mesh=mesh,
-                 feat_dim=FEAT)
+    tr = Trainer(_train_cfg(final_combine), os.path.join(work, "exp"),
+                 mesh=mesh, feat_dim=FEAT)
     lo, hi = launch.host_local_batch_slice(GLOBAL_MB)
 
     def batches(i):
@@ -183,6 +185,16 @@ def worker_main(argv: List[str]):
         w = np.asarray(jax.device_get(tr.params["embed"][0]["w"]))
         out["checksum"] = float(np.sum(np.abs(w)))
         out["w00"] = float(w[0, 0])
+        final_link = os.path.join(tr.work_dir, "model_final")
+        out["final_target"] = os.path.basename(os.path.realpath(final_link))
+        # full final params (tiny model, a few hundred KB of json): lets
+        # the contract test bound gloo-vs-single drift in PARAMS space,
+        # where it originates, instead of via nonlinearly-amplified
+        # embedding-space proxies
+        out["params_flat"] = {
+            jax.tree_util.keystr(path): np.asarray(leaf).tolist()
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                jax.device_get(tr.params))}
         # utterance-sharded extraction (extract_xvectors.sh's nj fan-out):
         # each host forwards its own utterance shard on local devices
         params = jax.device_get(tr.params)
@@ -217,7 +229,8 @@ def _free_port() -> int:
 
 def _spawn_group(work: str, phase: int, timeout: int = 420,
                  n_procs: int = 2, local_devices: int = 2,
-                 num_archives: int = NUM_ARCHIVES):
+                 num_archives: int = NUM_ARCHIVES,
+                 final_combine: bool = False):
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     worker = os.path.join(work, "mc_worker.py")
@@ -231,7 +244,8 @@ def _spawn_group(work: str, phase: int, timeout: int = 420,
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, worker, str(port), str(pid), work, str(phase),
-         str(n_procs), str(local_devices), str(num_archives)],
+         str(n_procs), str(local_devices), str(num_archives),
+         str(int(final_combine))],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(n_procs)]
     outs = []
@@ -261,7 +275,8 @@ def _spawn_group(work: str, phase: int, timeout: int = 420,
 
 def run_group(work: str, interrupt: bool = True, n_procs: int = 2,
               local_devices: int = 2,
-              num_archives: int = NUM_ARCHIVES) -> Dict:
+              num_archives: int = NUM_ARCHIVES,
+              final_combine: bool = False) -> Dict:
     """The full N-controller flow.  ``interrupt=True`` runs phase 1
     (train, deterministic stop after STOP_AFTER iterations, exit) then
     phase 2 with FRESH processes (resume from the shared orbax
@@ -271,11 +286,13 @@ def run_group(work: str, interrupt: bool = True, n_procs: int = 2,
     if interrupt:
         res1 = _spawn_group(work, phase=1, n_procs=n_procs,
                             local_devices=local_devices,
-                            num_archives=num_archives)
+                            num_archives=num_archives,
+                            final_combine=final_combine)
         assert all(r["final_iterations"] == STOP_AFTER for r in res1), res1
     res2 = _spawn_group(work, phase=2, n_procs=n_procs,
                         local_devices=local_devices,
-                        num_archives=num_archives)
+                        num_archives=num_archives,
+                        final_combine=final_combine)
     assert all(r["checksum"] == res2[0]["checksum"] for r in res2), res2
     xv: Dict[str, list] = {}
     for r in res2:
@@ -284,6 +301,9 @@ def run_group(work: str, interrupt: bool = True, n_procs: int = 2,
             "checksum": res2[0]["checksum"], "w00": res2[0]["w00"],
             "xv": {u: np.asarray(v, np.float32) for u, v in xv.items()},
             "shard_sizes": [r["num_utts_local"] for r in res2],
+            "final_target": res2[0].get("final_target"),
+            "params_flat": {k: np.asarray(v, np.float32) for k, v in
+                            res2[0].get("params_flat", {}).items()},
             "interrupted": interrupt}
 
 
@@ -328,4 +348,8 @@ def run_single_controller(work: str, devices) -> Dict:
     return {"final_iterations": final,
             "checksum": float(np.sum(np.abs(w))),
             "w00": float(w[0, 0]),
+            "params_flat": {
+                jax.tree_util.keystr(path): np.asarray(leaf)
+                for path, leaf in jax.tree_util.tree_leaves_with_path(
+                    jax.device_get(tr.params))},
             "xv": {u: np.asarray(v, np.float32) for u, v in xv.items()}}

@@ -748,48 +748,14 @@ class Trainer:
                 keep=combine_set)
         return num_iters
 
-    def _final_combine(self, combine_set: List[int], batches_fn):
-        """Optimize combination weights over the candidate iterations'
-        checkpoints on the diagnostics subset and install the result as
-        ``model_combined`` → ``model_final``."""
-        from . import combine as combinelib
-        available = {it: path
-                     for it, path in checkpoints.iteration_dirs(self.work_dir)
-                     if checkpoints.is_complete(path)}
-        if jax.process_count() > 1:
-            # optimize_combination runs a process-local jit over
-            # host-local diagnostics batches: each controller would
-            # converge to different combination weights and save_named
-            # would then collectively write inconsistent pytrees (and
-            # _pad_rows's global n_rows would mask nothing locally).
-            # Deterministic fallback: every process marks the last
-            # complete iteration final.
-            self._log({"kind": "combine_skipped",
-                       "reason": "multi-controller combination "
-                                 "unsupported; marked last iteration "
-                                 "final instead"})
-            checkpoints.mark_final(self.work_dir,
-                                   max(available) if available else 0)
-            return
-        cands = [it for it in combine_set if it in available]
-        if not cands or batches_fn is None:
-            checkpoints.mark_final(self.work_dir, max(available) if available
-                                   else 0)
-            return
-        params_list, state_list = [], []
-        for it in cands:
-            p, s = checkpoints.load_pytrees(self, available[it])
-            params_list.append(p)
-            state_list.append(s)
-        batches = []
-        for feats, labels, true_len in batches_fn():
-            feats, labels, n_rows = self._pad_rows(feats, labels)
-            batches.append((feats, labels, true_len, n_rows))
-        # pad every minibatch to ONE (B, T) shape: the combination step's
-        # jit would otherwise recompile per length bucket, and each
-        # compile of the N-model stacked grad graph costs minutes on
-        # remote-compile transports; masks built from true_len make the
-        # padding exact
+    @staticmethod
+    def _uniform_shape_batches(raw) -> List[Tuple]:
+        """Pad combination minibatches to ONE (B, T) shape: the
+        combination step's jit would otherwise recompile per length
+        bucket, and each compile of the N-model stacked grad graph costs
+        minutes on remote-compile transports; masks built from
+        true_len/n_rows make the padding exact."""
+        batches = list(raw)
         if batches:
             b_max = max(f.shape[0] for f, *_ in batches)
             t_max = max(f.shape[1] for f, *_ in batches)
@@ -798,12 +764,81 @@ class Trainer:
                             (0, t_max - f.shape[1]), (0, 0))),
                  np.pad(l, (0, b_max - l.shape[0])), t, r)
                 for f, l, t, r in batches]
-        params, state, info = combinelib.optimize_combination(
-            self.model_cfg, params_list, state_list, batches,
-            compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-            steps=self.cfg.combine_opt_steps)
-        self.params, self.state = params, state
+        return batches
+
+    def _final_combine(self, combine_set: List[int], batches_fn):
+        """Optimize combination weights over the candidate iterations'
+        checkpoints on the diagnostics subset and install the result as
+        ``model_combined`` → ``model_final``.
+
+        Multi-controller: every process collectively restores the
+        candidate checkpoints and allgathers full host copies; the
+        COORDINATOR alone optimizes the (tiny) weight vector on its local
+        diagnostics batches and broadcasts it; every process then applies
+        the identical convex combination to its identical host copies, so
+        the collective ``save_named`` writes one consistent pytree.  (A
+        naive per-process optimization would converge to different
+        weights from different local data and corrupt the collective
+        write — the round-4 fallback this replaces.)"""
+        from . import combine as combinelib
+        available = {it: path
+                     for it, path in checkpoints.iteration_dirs(self.work_dir)
+                     if checkpoints.is_complete(path)}
+        cands = [it for it in combine_set if it in available]
+        if not cands or batches_fn is None:
+            self._log({"kind": "combine_skipped",
+                       "reason": ("no complete candidate checkpoints"
+                                  if not cands else
+                                  "no diagnostics batches provided")})
+            checkpoints.mark_final(self.work_dir, max(available) if available
+                                   else 0)
+            return
+        multi = jax.process_count() > 1
+        params_list, state_list = [], []
+        for it in cands:
+            p, s = checkpoints.load_pytrees(self, available[it])
+            if multi:
+                # orbax restore above is collective; allgather turns the
+                # sharded global arrays into full process-local numpy so
+                # the weight search below needs no further collectives
+                from jax.experimental import multihost_utils
+                p = multihost_utils.process_allgather(p, tiled=True)
+                s = multihost_utils.process_allgather(s, tiled=True)
+            params_list.append(p)
+            state_list.append(s)
+        info: Dict[str, Any] = {}
+        if not multi or jax.process_index() == 0:
+            # single-controller: global batches via _pad_rows.
+            # multi-controller coordinator: its LOCAL diagnostics rows,
+            # optimized with a process-local jit (plain jit on host-local
+            # arrays issues no collectives; the other processes wait in
+            # the broadcast below)
+            if multi:
+                raw = ((f, l, t, f.shape[0]) for f, l, t in batches_fn())
+            else:
+                raw = []
+                for feats, labels, true_len in batches_fn():
+                    feats, labels, n_rows = self._pad_rows(feats, labels)
+                    raw.append((feats, labels, true_len, n_rows))
+            batches = self._uniform_shape_batches(raw)
+            _, _, info = combinelib.optimize_combination(
+                self.model_cfg, params_list, state_list, batches,
+                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                steps=self.cfg.combine_opt_steps)
+            weights = np.asarray(info["weights"], np.float32)
+        else:
+            weights = np.zeros(len(cands), np.float32)
+        if multi:
+            from jax.experimental import multihost_utils
+            weights = np.asarray(
+                multihost_utils.broadcast_one_to_all(weights))
+        # every process applies the same weights to the same host copies
+        # — bit-identical combined pytrees everywhere
+        w = jnp.asarray(weights)
+        self.params = combinelib.combine_pytrees(params_list, w)
+        self.state = combinelib.combine_pytrees(state_list, w)
         self._place_all()            # restore mesh shardings on the result
         checkpoints.save_named(self, "model_combined")
         checkpoints.mark_final(self.work_dir, "model_combined")
-        self._log({"kind": "combine", "iterations": cands, **info})
+        self._log({"kind": "combine", "iterations": cands,
+                   "weights": weights.tolist(), **info})

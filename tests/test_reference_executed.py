@@ -897,3 +897,105 @@ def test_executed_reference_full_iteration_capstone(ref, tmp_path):
     assert not bad, (
         f"capstone weights diverge beyond the chaos floor after "
         f"{n_mb} minibatches (ours, self): {bad}")
+
+
+def test_executed_reference_eval_dnn_parity(ref, tmp_path):
+    """The diagnostics objective formula, pinned against the executed
+    reference: ``Model.eval`` (models.py:307-354, the body of the
+    ``eval_dnn.py`` CLI) run on a reference-format tar vs our
+    ``Trainer.evaluate`` consuming the same tar — the per-iteration
+    valid/train-subset numbers the trainer logs must mean the same thing
+    the reference's background evaluator logs.  Eval mode is
+    deterministic (population BN, no optimizer), so the criterion is
+    direct: the %.4f-logged loss/accuracy match within log rounding plus
+    f32 backend noise."""
+    import test_reference_dataplane as TRD
+    from xvector_tpu.data import reference_tar as RT
+    from xvector_tpu.train.trainer import TrainConfig, Trainer
+
+    dp = TRD.load_ref_dataplane()
+    tf1 = ref.tf1
+    n_spk = 6
+    params_alloc = dict(min_frames=96, max_frames=96, minibatch_size=BATCH,
+                        accepted_overlap=0.2, seed=777)
+    utt2len, utt2spk = TRD._corpus()
+    u2l, u2i = TRD._write_corpus(tmp_path, utt2len, utt2spk)
+    TRD._run_reference_alloc(dp, tmp_path, u2l, u2i, 10, 3000, 1,
+                             num_jobs=1, params=params_alloc)
+    [plan] = TRD._our_plans(utt2len, utt2spk, 10, 3000, 1,
+                            params=params_alloc)
+    feats, ark, scp = TRD._write_feats(tmp_path, utt2len, feat_dim=FEAT_DIM)
+    used = sorted({c.utt for mb in plan.minibatches for c in mb.chunks})
+    scp_lines = {ln.split(" ")[0]: ln
+                 for ln in open(scp).read().splitlines()}
+    (tmp_path / "temp" / "feats.scp.1").write_text(
+        "".join(scp_lines[u] + "\n" for u in used))
+    outputs = tmp_path / "temp" / "outputs.1"
+    outputs.write_text("egs.1.tar\n")
+    dp.ctf.process_files(types.SimpleNamespace(
+        prefix="", egs_dir=str(tmp_path), shuffle=False, random_seed=0,
+        feature_dim=FEAT_DIM, minibatch_size=BATCH,
+        outputs_file=str(outputs)))
+    tar = str(tmp_path / "egs.1.tar")
+    mbs = RT.reference_tar_minibatches(tar)
+
+    class_name = "ModelWithoutDropout"
+    ref.set_seed_base(class_name + "_evalcli")
+    model_dir = str(tmp_path / "m0")
+    tf1.reset_default_graph()
+    model = getattr(ref.models, class_name)()
+    model.build_model(n_spk, FEAT_DIM, model_dir, logger=None)
+    tf1.reset_default_graph()
+    with tf1.Session() as sess:
+        model.load_model(sess, model_dir, None)
+        w0 = _extract_named_weights(ref, sess, sess.graph)
+
+    ref.models.set_cuda_visible_devices = lambda **kw: None
+    import io as _io
+    import re
+    orig_load = np.load
+
+    def shim_load(*a, **k):
+        if a and isinstance(a[0], str):
+            return orig_load(*a, **{**k, "allow_pickle": True})
+        if a and hasattr(a[0], "read") and not isinstance(a[0], _io.BytesIO):
+            return orig_load(_io.BytesIO(a[0].read()), *a[1:], **k)
+        return orig_load(*a, **k)
+
+    msgs: list[str] = []
+
+    class _H(logging.Handler):
+        def emit(self, rec):
+            msgs.append(rec.getMessage())
+
+    lg = logging.getLogger("evalcli_capture")
+    lg.setLevel(logging.INFO)
+    lg.addHandler(_H())
+    tf1.reset_default_graph()
+    np.load = shim_load
+    try:
+        loader = dp.eio.TarFileDataLoader(tar)
+        model.eval(loader, model_dir, False, lg)
+    finally:
+        np.load = orig_load
+    [m] = [m for msg in msgs
+           if (m := re.search(r"Overall average loss is (-?[0-9]+\.[0-9]+)"
+                              r" over ([0-9]+) segments.*accuracy is "
+                              r"(-?[0-9]+\.[0-9]+)", msg))]
+    ref_loss, ref_segments, ref_acc = (float(m.group(1)), int(m.group(2)),
+                                       float(m.group(3)))
+    assert ref_segments == len(mbs) * BATCH
+
+    h5path = str(tmp_path / "eval.h5")
+    _write_reference_h5(h5path, w0)
+    cfg = tdnn.MODEL_ZOO["no_dropout"]
+    params, state = import_reference_h5(h5path, cfg, n_spk)
+    tcfg = TrainConfig(model="no_dropout", num_targets=n_spk,
+                      compute_dtype="float32", dropout_schedule="0,0")
+    trainer = Trainer(tcfg, str(tmp_path / "work"), feat_dim=FEAT_DIM)
+    trainer.params, trainer.state = params, state
+    trainer._place_all()
+    ours = trainer.evaluate(mbs)
+
+    assert abs(ours["loss"] - ref_loss) <= 2e-4, (ours, ref_loss)
+    assert abs(ours["accuracy"] - ref_acc) <= 2e-4, (ours, ref_acc)

@@ -28,7 +28,10 @@ def main(argv=None):
                         "(uses model_final)")
     p.add_argument("--model", default="ModelWithoutDropout")
     p.add_argument("--num-targets", type=int, required=True)
-    p.add_argument("--egs", required=True, help="diagnostic .xta archive")
+    p.add_argument("--egs", required=True,
+                   help="diagnostic archive: .xta, or a reference-format "
+                        ".tar (examples_io.py layout; labels .npy beside "
+                        "it)")
     p.add_argument("--feat-dim", type=int, default=23)
     p.add_argument("--compute-dtype", default="float32")
     args = p.parse_args(argv)
@@ -56,7 +59,14 @@ def main(argv=None):
             # that crashed in iteration 0 is still evaluable
             checkpoints.restore_latest(trainer)
 
-    loader = archlib.PrefetchLoader(archlib.ArchiveReader(args.egs))
+    if args.egs.endswith(".tar"):
+        # a reference user's existing egs tar works directly
+        # (data/reference_tar.py; executed-parity in
+        # tests/test_reference_executed.py eval test)
+        from ..data.reference_tar import reference_tar_minibatches
+        loader = reference_tar_minibatches(args.egs)
+    else:
+        loader = archlib.PrefetchLoader(archlib.ArchiveReader(args.egs))
     stats = trainer.evaluate(loader)
     print(json.dumps({"egs": args.egs, **stats}))
 

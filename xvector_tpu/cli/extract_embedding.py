@@ -46,7 +46,7 @@ def get_args(argv=None):
                    help="apply sliding CMVN (win 300) natively")
     p.add_argument("--min-chunk-size", type=int, default=25)
     p.add_argument("--chunk-size", type=int, default=10000)
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=32)  # sweep-optimal
     p.add_argument("--feat-dim", type=int, default=23)
     p.add_argument("--output-ark", required=True)
     p.add_argument("--output-scp", default="")

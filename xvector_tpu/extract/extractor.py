@@ -42,7 +42,12 @@ __all__ = ["ExtractorConfig", "XvectorExtractor", "preprocess",
 class ExtractorConfig:
     min_chunk: int = 25        # run_xvector.sh:75
     max_chunk: int = 10000     # run_xvector.sh:70
-    batch_size: int = 16
+    # 32 per the round-5 chip sweep (docs/extract_sweep_r05.json):
+    # b=16 -> 32 is +15% device audio-throughput at the 1024-frame
+    # bucket (156.8k -> 180.4k audio_s/s; b=64 adds only +1.8% more);
+    # tail partial batches dispatch at actual size, so small jobs pay
+    # nothing for the larger default.
+    batch_size: int = 32
     # bucket boundaries: pad each chunk up to the next bucket; geometric-ish
     # spacing bounds padding waste at ~2x worst case, ~25% typical
     buckets: Tuple[int, ...] = (32, 64, 128, 192, 256, 384, 512, 768, 1024,

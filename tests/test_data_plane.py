@@ -409,3 +409,29 @@ def test_snap_to_bucket_fills_padded_shapes_exactly():
             assert cfg.min_frames <= mb.length <= cfg.max_frames
             lengths.add(mb.length)
     assert len(lengths) > 1          # variety preserved on the grid
+
+
+def test_reference_exact_allocator_rejects_all_short_speaker():
+    """A speaker whose every utterance is shorter than a drawable chunk
+    length would send the reference's redraw loop (create_egs.py) into
+    nontermination; our mirror raises a loud error instead of hanging."""
+    utt2len = {"a0": 500, "a1": 480, "b0": 150, "b1": 160}
+    utt2label = {"a0": 0, "a1": 0, "b0": 1, "b1": 1}
+    cfg = A.AllocatorConfig(min_frames=200, max_frames=400,
+                            minibatch_size=2, num_repeats=8,
+                            frames_per_iter=4_000, seed=0,
+                            reference_semantics=True)
+    with pytest.raises(ValueError, match="shorter than the drawn"):
+        list(A.allocate_archives(utt2len, utt2label, cfg, num_archives=2))
+
+
+def test_write_reference_tar_rejects_ragged_minibatches(tmp_path):
+    """Ragged minibatch sizes cannot be represented in the plain (N, B)
+    labels layout — fail loudly BEFORE any tar bytes hit disk."""
+    from xvector_tpu.data import reference_tar as RT
+    mbs = [(np.zeros((4, 10, 3), np.float16), np.zeros(4, np.int32)),
+           (np.zeros((3, 10, 3), np.float16), np.zeros(3, np.int32))]
+    tar = str(tmp_path / "egs.1.tar")
+    with pytest.raises(ValueError, match="uniform minibatch size"):
+        RT.write_reference_tar(tar, mbs)
+    assert not os.path.exists(tar)

@@ -160,17 +160,21 @@ def test_multicontroller_full_contract(tmp_path):
     # bound loose enough to hold is too loose to mean anything.
     # Exactness is asserted where it is owed: interrupted == straight
     # above, and per-shard extraction equality in the 4-process test.
-    lr = 1e-3
+    lr = mc_harness._train_cfg().initial_effective_lrate
     assert single["params_flat"].keys() == interrupted["params_flat"].keys()
+    assert single["params_flat"]   # non-vacuity: real, populated trees
     worst = 0.0
     for name, b in single["params_flat"].items():
-        a = interrupted["params_flat"][name]
-        step_rel = float(np.abs(np.asarray(a) - np.asarray(b)).max()) / lr
+        a = np.asarray(interrupted["params_flat"][name])
+        b = np.asarray(b)
+        assert a.size > 0 and float(np.abs(b).max()) > 0.0, name
+        step_rel = float(np.abs(a - b).max()) / lr
         worst = max(worst, step_rel)
         assert step_rel < 10.0, (name, step_rel)
-    # non-vacuity premise: the backends DO drift (else the bound above
-    # would be trivially satisfied by a broken comparison)
-    assert worst > 0.1, worst
+    # worst == 0 would mean the gloo and single-process reduction orders
+    # happened to agree exactly — legitimate, not a broken comparison
+    # (the populated/nonzero checks above carry the non-vacuity load);
+    # on current jax/gloo the measured drift is ~4.5*lr.
 
 
 def test_multicontroller_final_combination(tmp_path):

@@ -39,7 +39,9 @@ pickles object arrays; modern numpy refuses them on load by default).
 
 from __future__ import annotations
 
+import contextlib
 import importlib.util
+import io
 import os
 import random
 import sys
@@ -55,6 +57,31 @@ from xvector_tpu.io import kaldi_ark as kio
 from xvector_tpu.train import schedules as S
 
 REF_TF_DIR = "/root/reference/local/tf"
+
+
+@contextlib.contextmanager
+def numpy2_load_shims():
+    """Patch ``np.load`` for the 2018-era reference loaders under modern
+    numpy — both shims value-preserving: (a) ``allow_pickle=True`` for
+    path loads (the reference's own labels writer pickles a dtype=object
+    array, create_tar_files.py:133, which numpy 2.x refuses by default);
+    (b) a BytesIO hop for file-object loads (np.load probes ``.fileno()``
+    on tarfile member objects — AttributeError under py3.12).  Shared by
+    the tar round-trip, capstone-iteration, and eval-CLI parity tests."""
+    orig_load = np.load
+
+    def shim_load(*a, **k):
+        if a and isinstance(a[0], str):
+            return orig_load(*a, **{**k, "allow_pickle": True})
+        if a and hasattr(a[0], "read") and not isinstance(a[0], io.BytesIO):
+            return orig_load(io.BytesIO(a[0].read()), *a[1:], **k)
+        return orig_load(*a, **k)
+
+    np.load = shim_load
+    try:
+        yield
+    finally:
+        np.load = orig_load
 
 
 def _load_ref(name: str, alias: str | None = None):
@@ -357,27 +384,11 @@ def test_reference_tar_pipeline_crossed(ref, tmp_path):
         str(tmp_path / "egs.1.npy"))
 
     # (1) reference TarFileDataLoader vs our reader: bit-identical
-    # sequences.  Two numpy-2.x shims for the 2018-era loader, both
-    # value-preserving: the labels file its own writer produces is a
-    # pickled dtype=object array (create_tar_files.py:133) which modern
-    # numpy refuses without allow_pickle, and np.load probes .fileno()
-    # on tarfile member objects (AttributeError under py3.12).
-    import io as _io
-    orig_load = np.load
-
-    def shim_load(*a, **k):
-        if a and isinstance(a[0], str):
-            return orig_load(*a, **{**k, "allow_pickle": True})
-        if a and hasattr(a[0], "read") and not isinstance(a[0], _io.BytesIO):
-            return orig_load(_io.BytesIO(a[0].read()), *a[1:], **k)
-        return orig_load(*a, **k)
-
-    np.load = shim_load
-    try:
+    # sequences (numpy2_load_shims: the two value-preserving np.load
+    # patches the 2018-era loader needs under modern numpy).
+    with numpy2_load_shims():
         loader = ref.eio.TarFileDataLoader(tar_path)
         ref_seq = [loader.pop() for _ in range(loader.count)]
-    finally:
-        np.load = orig_load
     our_seq = list(RT.read_reference_tar(tar_path))
     assert len(ref_seq) == len(our_seq) == len(plan.minibatches)
     for (rm, rl), (om, ol) in zip(ref_seq, our_seq):
@@ -405,16 +416,13 @@ def test_reference_tar_pipeline_crossed(ref, tmp_path):
     # array; only the fileno shim applies.
     tar2 = str(tmp_path / "ours.1.tar")
     RT.write_reference_tar(tar2, [(m, l) for m, l, _ in ours])
-    np.load = shim_load
-    try:
+    with numpy2_load_shims():
         loader2 = ref.eio.TarFileDataLoader(tar2)
         for om, ol, _ in ours:
             rm, rl = loader2.pop()
             np.testing.assert_array_equal(rm, om.astype(np.float16))
             np.testing.assert_array_equal(np.asarray(rl, np.int32),
                                           np.asarray(ol, np.int32))
-    finally:
-        np.load = orig_load
 
 
 def test_default_allocator_distribution_matches_reference(ref, tmp_path):

@@ -830,16 +830,6 @@ def test_executed_reference_full_iteration_capstone(ref, tmp_path):
     # CUDA_VISIBLE_DEVICES (ze_utils.py:25-46) and touches no math
     ref.models.set_cuda_visible_devices = lambda **kw: None
 
-    import io as _io
-    orig_load = np.load
-
-    def shim_load(*a, **k):   # same two numpy-2.x shims as the tar test
-        if a and isinstance(a[0], str):
-            return orig_load(*a, **{**k, "allow_pickle": True})
-        if a and hasattr(a[0], "read") and not isinstance(a[0], _io.BytesIO):
-            return orig_load(_io.BytesIO(a[0].read()), *a[1:], **k)
-        return orig_load(*a, **k)
-
     def run_tf(tar_path, out_dir):
         msgs: list[str] = []
 
@@ -855,13 +845,10 @@ def test_executed_reference_full_iteration_capstone(ref, tmp_path):
             dropout_proportion=0.0, input_dir=model_dir,
             output_dir=out_dir, random_seed=0)
         tf1.reset_default_graph()
-        np.load = shim_load
-        try:
+        with TRD.numpy2_load_shims():
             loader = dp.eio.TarFileDataLoader(tar_path)
             assert loader.count == n_mb
             model.train_one_iteration(loader, args, lg)
-        finally:
-            np.load = orig_load
         tf1.reset_default_graph()
         with tf1.Session() as sess:
             model.load_model(sess, out_dir, None)
@@ -976,16 +963,7 @@ def test_executed_reference_eval_dnn_parity(ref, tmp_path):
         w0 = _extract_named_weights(ref, sess, sess.graph)
 
     ref.models.set_cuda_visible_devices = lambda **kw: None
-    import io as _io
     import re
-    orig_load = np.load
-
-    def shim_load(*a, **k):
-        if a and isinstance(a[0], str):
-            return orig_load(*a, **{**k, "allow_pickle": True})
-        if a and hasattr(a[0], "read") and not isinstance(a[0], _io.BytesIO):
-            return orig_load(_io.BytesIO(a[0].read()), *a[1:], **k)
-        return orig_load(*a, **k)
 
     msgs: list[str] = []
 
@@ -997,12 +975,9 @@ def test_executed_reference_eval_dnn_parity(ref, tmp_path):
     lg.setLevel(logging.INFO)
     lg.addHandler(_H())
     tf1.reset_default_graph()
-    np.load = shim_load
-    try:
+    with TRD.numpy2_load_shims():
         loader = dp.eio.TarFileDataLoader(tar)
         model.eval(loader, model_dir, False, lg)
-    finally:
-        np.load = orig_load
     [m] = [m for msg in msgs
            if (m := re.search(r"Overall average loss is (-?[0-9]+\.[0-9]+)"
                               r" over ([0-9]+) segments.*accuracy is "

@@ -364,6 +364,25 @@ def test_final_combine_skips_only_without_data(tmp_path):
     assert not any(r.get("kind") == "combine" for r in recs)
 
 
+def test_final_combine_empty_generator_falls_back(tmp_path):
+    """A batches_fn that yields NOTHING (e.g. an empty holdout shard)
+    must fall back to the last checkpoint, not hang
+    optimize_combination's step loop (its iteration never advances on
+    zero batches)."""
+    tr = _mk_trainer(tmp_path, num_epochs=2, final_combine=True,
+                     combine_opt_steps=8, block_size=2)
+    batches = _synthetic_batches(num_batches=3)
+    tr.train(lambda i: iter(batches), num_archives=3,
+             valid_batches=lambda: iter(()))   # present but empty
+    link = os.path.join(tr.work_dir, "model_final")
+    assert os.path.islink(link) and os.readlink(link) == "model_6"
+    recs = [json.loads(l) for l in open(os.path.join(tr.work_dir,
+                                                     "metrics.jsonl"))]
+    [skip] = [r for r in recs if r.get("kind") == "combine_skipped"]
+    assert skip["reason"] == "diagnostics batches yielded no data"
+    assert not any(r.get("kind") == "combine" for r in recs)
+
+
 def test_dense_fastpath_matches_masked(tmp_path):
     """The mask-free loss is BIT-IDENTICAL to the masked loss on a full
     batch (multiplying by an all-ones mask changes nothing); the

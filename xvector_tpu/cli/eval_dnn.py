@@ -63,8 +63,12 @@ def main(argv=None):
         # a reference user's existing egs tar works directly
         # (data/reference_tar.py; executed-parity in
         # tests/test_reference_executed.py eval test)
-        from ..data.reference_tar import reference_tar_minibatches
-        loader = reference_tar_minibatches(args.egs)
+        from ..data.reference_tar import read_reference_tar
+        # stream — evaluate() consumes the iterable once, and a
+        # frames_per_iter-scale tar must not be materialised on host
+        # (reference_tar_minibatches's list is for multi-pass callers)
+        loader = ((mat, lab, int(mat.shape[1]))
+                  for mat, lab in read_reference_tar(args.egs))
     else:
         loader = archlib.PrefetchLoader(archlib.ArchiveReader(args.egs))
     stats = trainer.evaluate(loader)

@@ -384,6 +384,13 @@ def _allocate_reference_exact(utt2len: Dict[str, int],
         spk2utt.setdefault(s, []).append(u)
     pools = {s: list(us) for s, us in spk2utt.items()}
     groups = _reference_offset_groups(utt2len)
+    # longest utterance per speaker: the reference retries a too-short
+    # draw forever (create_egs.py logs and redraws); when a speaker has
+    # NO utterance >= the drawn length that loop cannot terminate, so we
+    # convert the reference's nontermination into a loud error.  Checked
+    # only after a failed draw, so the RNG sequence in every terminating
+    # case stays byte-identical to the reference's.
+    spk_max = {s: max(utt2len[u] for u in us) for s, us in spk2utt.items()}
 
     def draw_utt(spk: int) -> str:
         pool = pools[spk]
@@ -414,6 +421,13 @@ def _allocate_reference_exact(utt2len: Dict[str, int],
                     utt = draw_utt(spk)
                     if utt2len[utt] >= length:
                         break
+                    if spk_max[spk] < length:
+                        raise ValueError(
+                            f"speaker {spk}: longest utterance "
+                            f"({spk_max[spk]} frames) is shorter than the "
+                            f"drawn chunk length {length}; the reference "
+                            "allocator would retry forever here — filter "
+                            "short speakers or lower max_frames")
                 used = groups[utt]
                 free = utt2len[utt] - length
                 budget = utt2len[utt] / length + 1    # float, as reference

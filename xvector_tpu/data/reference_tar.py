@@ -47,7 +47,16 @@ def write_reference_tar(tar_path: str,
     """Write [(feats (B, T, F), labels (B,))] as a reference-format archive:
     ``minibatch_<i>.npy`` float16 members (examples_io.py:149-177) plus the
     sibling labels ``.npy`` (create_tar_files.py:130-134)."""
-    labels = np.stack([np.asarray(y, np.int32) for _, y in minibatches])
+    rows = [np.asarray(y, np.int32) for _, y in minibatches]
+    sizes = {r.shape[0] for r in rows}
+    if len(sizes) > 1:
+        # the plain (N, B) labels layout (see module docstring) requires
+        # one minibatch size; fail loudly BEFORE any tar bytes hit disk
+        # rather than letting np.stack throw after partial writes
+        raise ValueError(
+            f"write_reference_tar needs a uniform minibatch size, got "
+            f"{sorted(sizes)}; pad or split the ragged minibatches first")
+    labels = np.stack(rows)
     with tarfile.TarFile(tar_path, "w") as tar:
         for i, (feats, _) in enumerate(minibatches):
             buf = io.BytesIO()

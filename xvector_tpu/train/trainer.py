@@ -821,17 +821,31 @@ class Trainer:
                     feats, labels, n_rows = self._pad_rows(feats, labels)
                     raw.append((feats, labels, true_len, n_rows))
             batches = self._uniform_shape_batches(raw)
-            _, _, info = combinelib.optimize_combination(
-                self.model_cfg, params_list, state_list, batches,
-                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-                steps=self.cfg.combine_opt_steps)
-            weights = np.asarray(info["weights"], np.float32)
+            if batches:
+                _, _, info = combinelib.optimize_combination(
+                    self.model_cfg, params_list, state_list, batches,
+                    compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                    steps=self.cfg.combine_opt_steps)
+                weights = np.asarray(info["weights"], np.float32)
+            else:
+                # a batches_fn that yields NOTHING (e.g. an empty holdout
+                # shard) must not reach optimize_combination (its step
+                # loop never advances on zero batches) — and the peers
+                # are already waiting in the broadcast below, so signal
+                # the skip THROUGH the broadcast (NaN weights) to keep
+                # the collective schedule identical on every process
+                weights = np.full(len(cands), np.nan, np.float32)
         else:
             weights = np.zeros(len(cands), np.float32)
         if multi:
             from jax.experimental import multihost_utils
             weights = np.asarray(
                 multihost_utils.broadcast_one_to_all(weights))
+        if np.isnan(weights).any():
+            self._log({"kind": "combine_skipped",
+                       "reason": "diagnostics batches yielded no data"})
+            checkpoints.mark_final(self.work_dir, max(available))
+            return
         # every process applies the same weights to the same host copies
         # — bit-identical combined pytrees everywhere
         w = jnp.asarray(weights)

@@ -220,6 +220,26 @@ def test_multicontroller_final_combination(tmp_path):
                               / "done"))
 
 
+def test_multicontroller_empty_diag_combine_fallback(tmp_path):
+    """Combination with a diagnostics generator that yields NOTHING: the
+    coordinator must signal the skip THROUGH the broadcast (NaN weights)
+    so the peers — already waiting in broadcast_one_to_all — fall back
+    with it instead of deadlocking; every process then marks the last
+    checkpoint final."""
+    from xvector_tpu.parallel import mc_harness
+
+    res = mc_harness.run_group(str(tmp_path / "mce"), interrupt=False,
+                               n_procs=2, final_combine=True,
+                               empty_diag=True)
+    assert res["final_iterations"] == 4
+    assert res["final_target"] == "model_4"
+    metrics = (tmp_path / "mce" / "exp" / "metrics.jsonl").read_text()
+    records = [json.loads(ln) for ln in metrics.splitlines()]
+    [skip] = [r for r in records if r.get("kind") == "combine_skipped"]
+    assert skip["reason"] == "diagnostics batches yielded no data"
+    assert not any(r.get("kind") == "combine" for r in records)
+
+
 def test_multicontroller_four_process_contract(tmp_path):
     """The L4 contract at 4 controllers x 2 devices with an archive count
     (3) NOT divisible by the host count — one host materialises no

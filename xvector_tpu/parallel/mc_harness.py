@@ -129,6 +129,7 @@ def worker_main(argv: List[str]):
     local_devices = int(argv[5]) if len(argv) > 5 else 2
     num_archives = int(argv[6]) if len(argv) > 6 else NUM_ARCHIVES
     final_combine = bool(int(argv[7])) if len(argv) > 7 else False
+    empty_diag = bool(int(argv[8])) if len(argv) > 8 else False
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=n_procs, process_id=pid)
     assert jax.process_count() == n_procs
@@ -164,7 +165,12 @@ def worker_main(argv: List[str]):
             yield x[lo:hi], y[lo:hi], t
 
     def valid():
-        # one diagnostics minibatch, host-sliced like training rows
+        # one diagnostics minibatch, host-sliced like training rows —
+        # or NOTHING under empty_diag (the combine-fallback contract:
+        # the coordinator must signal the skip through the broadcast,
+        # not leave the peers deadlocked in it)
+        if empty_diag:
+            return
         for item in batches(0):
             yield item
             return
@@ -230,7 +236,7 @@ def _free_port() -> int:
 def _spawn_group(work: str, phase: int, timeout: int = 420,
                  n_procs: int = 2, local_devices: int = 2,
                  num_archives: int = NUM_ARCHIVES,
-                 final_combine: bool = False):
+                 final_combine: bool = False, empty_diag: bool = False):
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     worker = os.path.join(work, "mc_worker.py")
@@ -245,7 +251,7 @@ def _spawn_group(work: str, phase: int, timeout: int = 420,
     procs = [subprocess.Popen(
         [sys.executable, worker, str(port), str(pid), work, str(phase),
          str(n_procs), str(local_devices), str(num_archives),
-         str(int(final_combine))],
+         str(int(final_combine)), str(int(empty_diag))],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(n_procs)]
     outs = []
@@ -276,7 +282,8 @@ def _spawn_group(work: str, phase: int, timeout: int = 420,
 def run_group(work: str, interrupt: bool = True, n_procs: int = 2,
               local_devices: int = 2,
               num_archives: int = NUM_ARCHIVES,
-              final_combine: bool = False) -> Dict:
+              final_combine: bool = False,
+              empty_diag: bool = False) -> Dict:
     """The full N-controller flow.  ``interrupt=True`` runs phase 1
     (train, deterministic stop after STOP_AFTER iterations, exit) then
     phase 2 with FRESH processes (resume from the shared orbax
@@ -292,7 +299,8 @@ def run_group(work: str, interrupt: bool = True, n_procs: int = 2,
     res2 = _spawn_group(work, phase=2, n_procs=n_procs,
                         local_devices=local_devices,
                         num_archives=num_archives,
-                        final_combine=final_combine)
+                        final_combine=final_combine,
+                        empty_diag=empty_diag)
     assert all(r["checksum"] == res2[0]["checksum"] for r in res2), res2
     xv: Dict[str, list] = {}
     for r in res2:

@@ -247,7 +247,6 @@ def main(argv=None):
                           preserve_model_interval=
                           args.preserve_model_interval),
         extractor=ExtractorConfig(min_chunk=25, max_chunk=10000,
-                                  batch_size=16,
                                   compute_dtype=args.compute_dtype),
         lda_dim=args.lda_dim,
         stream_egs=args.stream_egs)
